@@ -1,0 +1,74 @@
+"""Descriptor: per-call static configuration.
+
+TPU-native re-design of the reference Descriptor
+(reference: graphblas/descriptor.hpp:17-60 + backend/cuda/descriptor.hpp:207-287).
+The reference carries a mutable field array toggled in place around calls
+(bfs.hpp:67-70 idiom); here the Descriptor is a frozen, hashable dataclass —
+it is a *static* jit argument, so each distinct configuration compiles its own
+specialized XLA program (the analog of the reference's template-parameter
+kernel variants, e.g. spmvDenseMaskedOrKernel<UseScmp,UseEarlyExit,UseOpReuse>,
+kernels/spmv.hpp:10).
+
+`toggle`/`replace` return new descriptors (functional rebinding).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from .types import Direction, LoadBalanceMode
+
+
+@dataclasses.dataclass(frozen=True)
+class Descriptor:
+    # --- mask handling (reference: types.hpp:44-55 GrB_MASK field) ---
+    mask_scmp: bool = False        # structural complement (GrB_SCMP, types.hpp:59)
+    structure_only: bool = False   # struconly knob (descriptor.hpp:50): mask/frontier
+    #                                 treated as {0,1} structure; values ignored
+
+    # --- output / input modifiers ---
+    output_replace: bool = False   # GrB_REPLACE (types.hpp:60)
+    transpose_inp0: bool = False   # GrB_INP0 ∘ GrB_TRAN (types.hpp:61)
+    transpose_inp1: bool = False   # GrB_INP1 ∘ GrB_TRAN
+
+    # --- mxv/vxm direction optimization (reference: vector.hpp:292-323) ---
+    mxv_mode: Direction = Direction.PUSHPULL
+    switchpoint: float = 0.01      # frontier-density threshold (descriptor.hpp:59)
+    memusage: float = 1.0          # push edge-workspace factor: capacity =
+    #                                 round_up(memusage * nnz) (spmspv_inner.hpp:51-59)
+
+    # --- push/pull kernel knobs (reference: descriptor.hpp:50-60) ---
+    earlyexit: bool = False        # pull-BFS row scan may stop at first hit
+    opreuse: bool = False          # pull reads the mask as the frontier
+    endbit: bool = False           # sort only ceil(log2 nrows) key bits
+    sort_push: bool = True         # False = scatter-combine push (SIMPLE mode)
+    fusedmask: bool = True         # fuse mask into the pull kernel
+    load_balance: LoadBalanceMode = LoadBalanceMode.MERGE
+
+    # --- algorithm loop controls (reference: descriptor.hpp:207-287 loadArgs) ---
+    max_niter: int = 10000
+    timing: int = 0                # 0: off, 1: per-iter CSV, 2: verbose CSV
+    debug: bool = False
+    dirinfo: bool = False          # announce push/pull switches
+    seed: int = 0                  # GRB_SEED equivalent (common.hpp:10-12)
+
+    # --- execution ---
+    backend: str = "tpu"           # "tpu" (jit) | "cpu" (numpy-ish reference path)
+
+    def replace(self, **kw) -> "Descriptor":
+        return dataclasses.replace(self, **kw)
+
+    def toggle_mask(self) -> "Descriptor":
+        """Scoped-complement idiom (reference: bfs.hpp:67-70 toggle(GrB_MASK))."""
+        return self.replace(mask_scmp=not self.mask_scmp)
+
+    def toggle_inp0(self) -> "Descriptor":
+        return self.replace(transpose_inp0=not self.transpose_inp0)
+
+    def toggle_inp1(self) -> "Descriptor":
+        return self.replace(transpose_inp1=not self.transpose_inp1)
+
+
+DEFAULT = Descriptor()
+
+# Tuned BFS flags parity (reference: run_bfs.sh:8-24)
+BFS_TUNED = Descriptor(structure_only=True, earlyexit=True, opreuse=True)

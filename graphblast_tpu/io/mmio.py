@@ -1,0 +1,150 @@
+"""Matrix Market I/O with graphblast-compatible preprocessing.
+
+Re-implements the *semantics* of the reference's MTX ingestion pipeline:
+  * banner/size parsing          (reference: graphblas/mmio.hpp:1-333)
+  * readMtx symmetric doubling + directedness forcing (util.hpp:364-430)
+  * removeSelfloop: self-loop removal + duplicate dedup (util.hpp:263-329)
+  * customSort: column-major (col, row) sort (util.hpp:170-195)
+  * coo2csr / coo2csc conversion (util.hpp:501-572)
+
+A C++ fast path (graphblast_tpu/native) parses large files; this module is the
+always-available pure-Python/NumPy implementation and the semantic ground truth.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+_REMOVE_SELFLOOP = os.environ.get("GRB_UTIL_REMOVE_SELFLOOP", "1") not in ("0", "false", "False")
+
+
+@dataclass
+class MtxInfo:
+    object: str
+    format: str  # coordinate | array
+    field: str   # real | integer | pattern | complex
+    symmetry: str  # general | symmetric | skew-symmetric | hermitian
+
+    @property
+    def is_symmetric(self) -> bool:
+        return self.symmetry == "symmetric"
+
+    @property
+    def is_pattern(self) -> bool:
+        return self.field == "pattern"
+
+
+def read_banner(line: str) -> MtxInfo:
+    """Parse '%%MatrixMarket object format field symmetry' (mmio.hpp banner)."""
+    parts = line.strip().split()
+    if len(parts) < 5 or parts[0] != "%%MatrixMarket":
+        raise ValueError(f"bad MatrixMarket banner: {line!r}")
+    return MtxInfo(parts[1].lower(), parts[2].lower(), parts[3].lower(), parts[4].lower())
+
+
+def read_mtx(
+    path: str,
+    directed: int = 0,
+    remove_self_loops: bool | None = None,
+):
+    """Read an .mtx file into canonical COO, reference-semantics preprocessing.
+
+    directed: 0 = honor mtx symmetry flag; 1 = force directed (no doubling);
+              2 = force undirected (double edges). (reference: util.hpp:360-364)
+
+    Returns (rows, cols, vals, nrows, ncols, info) with COO sorted
+    column-major (col-major: by col then row — reference customSort
+    util.hpp:170-195 sorts by col_indices first), self-loops removed (unless
+    GRB_UTIL_REMOVE_SELFLOOP=0), duplicates dropped (first kept), and symmetric
+    inputs doubled. Pattern matrices get values of 1.0.
+    """
+    if remove_self_loops is None:
+        remove_self_loops = _REMOVE_SELFLOOP
+
+    with open(path, "r") as f:
+        banner = f.readline()
+        info = read_banner(banner)
+        if info.format != "coordinate":
+            raise NotImplementedError("array-format mtx not supported (matches reference)")
+        # skip comments
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        nrows, ncols, nvals = (int(x) for x in line.split())
+        data = np.loadtxt(f, ndmin=2, dtype=np.float64, max_rows=nvals) if nvals else np.zeros((0, 3))
+
+    if data.shape[0] != nvals:
+        raise ValueError(f"expected {nvals} entries, got {data.shape[0]}")
+    rows = data[:, 0].astype(np.int64) - 1  # 1-based -> 0-based
+    cols = data[:, 1].astype(np.int64) - 1
+    if info.is_pattern or data.shape[1] < 3:
+        vals = np.ones(nvals, dtype=np.float64)
+    else:
+        vals = data[:, 2].astype(np.float64)
+
+    is_undirected = info.is_symmetric or directed == 2
+    if directed == 1:
+        is_undirected = False
+
+    rows, cols, vals = canonicalize_coo(
+        rows, cols, vals, undirected=is_undirected, remove_self_loops=remove_self_loops
+    )
+    return rows, cols, vals, nrows, ncols, info
+
+
+def canonicalize_coo(rows, cols, vals, *, undirected: bool, remove_self_loops: bool):
+    """Symmetric doubling + self-loop/dup removal + col-major sort.
+
+    Mirrors removeSelfloop+customSort (reference: util.hpp:263-329, 170-195):
+    doubling appends (c, r) for every off-diagonal (r, c); duplicates keep the
+    first occurrence in (col, row) order.
+    """
+    if undirected:
+        off_diag = rows != cols
+        new_rows = np.concatenate([rows, cols[off_diag]])
+        new_cols = np.concatenate([cols, rows[off_diag]])
+        vals = np.concatenate([vals, vals[off_diag]])
+        rows, cols = new_rows, new_cols
+
+    # column-major sort: primary key col, secondary row (reference customSort)
+    order = np.lexsort((rows, cols))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+
+    keep = np.ones(len(rows), dtype=bool)
+    if remove_self_loops:
+        keep &= rows != cols
+    # duplicates: same (row, col) as previous kept-sorted entry
+    if len(rows) > 1:
+        dup = (rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1])
+        keep[1:] &= ~dup
+    return rows[keep], cols[keep], vals[keep]
+
+
+def coo_to_csr(rows, cols, vals, nrows):
+    """COO -> CSR (reference: util.hpp:501-559 coo2csr). Input need not be sorted."""
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    row_ptr = np.zeros(nrows + 1, dtype=np.int64)
+    np.add.at(row_ptr, rows + 1, 1)
+    row_ptr = np.cumsum(row_ptr)
+    return row_ptr, cols.copy(), vals.copy()
+
+
+def coo_to_csc(rows, cols, vals, ncols):
+    """COO -> CSC (reference: util.hpp:562-572 coo2csc = coo2csr on swapped)."""
+    return coo_to_csr(cols, rows, vals, ncols)
+
+
+def write_mtx(path, rows, cols, vals, nrows, ncols, field="real", symmetry="general"):
+    """Write COO to a MatrixMarket file (round-trip support for tooling)."""
+    with open(path, "w") as f:
+        f.write(f"%%MatrixMarket matrix coordinate {field} {symmetry}\n")
+        f.write(f"{nrows} {ncols} {len(rows)}\n")
+        if field == "pattern":
+            for r, c in zip(rows, cols):
+                f.write(f"{r + 1} {c + 1}\n")
+        else:
+            for r, c, v in zip(rows, cols, vals):
+                f.write(f"{r + 1} {c + 1} {v:.9g}\n")

@@ -1,0 +1,332 @@
+"""Public GraphBLAS operations — Vector/Matrix level, functional.
+
+Mirrors the reference frontend free functions (graphblas/operations.hpp:22-886)
+with a functional signature: results are returned, never mutated in place.
+Argument order keeps (mask, accum, op, inputs, desc) recognizable; dimension
+checks mirror dimension.hpp:13-114 and happen at trace time.
+
+Storage dispatch happens here (the reference's backend operations.hpp case
+analysis); fused device-resident loops should instead use ops.dispatch
+(DualFrontier) directly — these wrappers are the host-driven "stepped" path
+and the user-facing API.
+"""
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .descriptor import DEFAULT, Descriptor
+from .matrix import Matrix
+from .semiring import BinaryOp, Monoid, Semiring, extract_add, extract_mul
+from .types import Direction, Storage, INDEX_DTYPE, round_up
+from .vector import Vector
+from .ops import elementwise as ew
+from .ops import segops
+from .ops.dispatch import DualFrontier, mxv_dual
+from .ops.spmv import spmv_pull, mask_pass
+from .ops.spmspv import spmspv_push, frontier_degrees
+
+
+def _check(cond, msg):
+    if not cond:
+        raise ValueError(msg)  # reference: Info error codes (types.hpp:28-42)
+
+
+def _mask_dense(mask: Optional[Vector], ident=0):
+    if mask is None:
+        return None
+    return mask.to_dense(ident).dense
+
+
+def _edge_cap(A: Matrix, desc: Descriptor) -> int:
+    cap = int(round_up(max(int(A.nnz_pad * desc.memusage), 128), 128))
+    return min(cap, A.nnz_pad) if desc.memusage <= 1.0 else cap
+
+
+def _apply_accum(old_dense, new_dense, accum):
+    """accum semantics: w = accum(w_old, t) elementwise
+    (reference: spmv.hpp:213-220 eWiseAdd into w)."""
+    if accum is None or old_dense is None:
+        return new_dense
+    op = accum.op if isinstance(accum, Monoid) else accum
+    return op(old_dense, new_dense).astype(new_dense.dtype)
+
+
+# ---------------------------------------------------------------------------
+# mxv / vxm (reference: operations.hpp:59-127 → backend 82-327)
+# ---------------------------------------------------------------------------
+
+
+def mxv(A: Matrix, u: Vector, semiring: Semiring,
+        mask: Optional[Vector] = None, accum=None,
+        desc: Descriptor = DEFAULT, w: Optional[Vector] = None) -> Vector:
+    """w = A ⊕.⊗ u (reference: operations.hpp:97-127)."""
+    return _matvec(A, u, semiring, mask, accum, desc, w, transpose=desc.transpose_inp0)
+
+
+def vxm(u: Vector, A: Matrix, semiring: Semiring,
+        mask: Optional[Vector] = None, accum=None,
+        desc: Descriptor = DEFAULT, w: Optional[Vector] = None) -> Vector:
+    """w = u ⊕.⊗ A ≡ Aᵀ ⊕.⊗ u (reference: operations.hpp:59-87, which toggles
+    GrB_INP1 and calls mxv — operations.hpp:108)."""
+    return _matvec(A, u, semiring, mask, accum, desc, w,
+                   transpose=not desc.transpose_inp1)
+
+
+def _matvec(A, u, semiring, mask, accum, desc, w, transpose: bool) -> Vector:
+    n_out = A.ncols if transpose else A.nrows
+    n_in = A.nrows if transpose else A.ncols
+    _check(u.n == n_in, f"dim mismatch: u.n={u.n} vs {n_in}")
+    ident = semiring.identity(u.dtype)
+    mask_d = _mask_dense(mask)
+
+    mode = desc.mxv_mode
+    if mode == Direction.PUSHPULL:
+        # storage-based dispatch at the API level (the runtime density
+        # heuristic lives in the fused DualFrontier path)
+        mode = Direction.PUSHONLY if u.storage == Storage.SPARSE else Direction.PULLONLY
+
+    if transpose:
+        pull = (A.col_ptr, A.csc_row_ind, A.csc_val)
+        push = (A.row_ptr, A.col_ind, A.val)
+    else:
+        pull = (A.row_ptr, A.col_ind, A.val)
+        push = (A.col_ptr, A.csc_row_ind, A.csc_val)
+    if push[0] is None:
+        mode = Direction.PULLONLY
+    if pull[0] is None:
+        mode = Direction.PUSHONLY
+
+    if mode == Direction.PUSHONLY:
+        us = u.to_sparse(ident)
+        y = spmspv_push(push[0], push[1], push[2], us.sind, us.sval, us.snvals,
+                        semiring, n_out, _edge_cap(A, desc), mask_d,
+                        desc.mask_scmp, desc.structure_only, desc.sort_push,
+                        out_dtype=u.dtype)
+        out_storage = Storage.SPARSE
+    else:
+        ud = u.to_dense(ident)
+        y = spmv_pull(pull[0], pull[1], pull[2], ud.dense, semiring, n_out,
+                      mask_d, desc.mask_scmp, desc.structure_only)
+        out_storage = Storage.DENSE
+
+    y = _apply_accum(w.to_dense(ident).dense if w is not None else None, y, accum)
+    out = Vector(n_out, Storage.DENSE, dense=y)
+    if out_storage == Storage.SPARSE:
+        out = out.to_sparse(ident)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# mxm (reference: operations.hpp:22-49 → backend 18-78) — see ops/spgemm.py
+# ---------------------------------------------------------------------------
+
+
+def mxm(A: Matrix, B: Matrix, semiring: Semiring,
+        mask: Optional[Matrix] = None, accum=None,
+        desc: Descriptor = DEFAULT) -> Matrix:
+    """C = A ⊕.⊗ B, sparse×sparse. Masked → masked SpGEMM (C inherits the
+    mask's sparsity, reference spgemm.hpp:85-87); unmasked → general SpGEMM.
+    desc.transpose_inp1 uses Bᵀ (TC's idiom, tc.hpp:24)."""
+    from .ops import spgemm
+
+    if mask is not None:
+        return spgemm.spgemm_masked(A, B, mask, semiring,
+                                    transpose_b=desc.transpose_inp1)
+    return spgemm.spgemm(A, B, semiring, transpose_b=desc.transpose_inp1)
+
+
+# ---------------------------------------------------------------------------
+# eWiseMult / eWiseAdd (reference: operations.hpp:137-353)
+# ---------------------------------------------------------------------------
+
+
+def _binop_of(op, use_mul: bool) -> BinaryOp:
+    if isinstance(op, Semiring):
+        return extract_mul(op) if use_mul else extract_add(op).op
+    if isinstance(op, Monoid):
+        return op.op
+    return op
+
+
+def eWiseMult(u: Vector, v: Union[Vector, float, int], op,
+              mask: Optional[Vector] = None, accum=None,
+              desc: Descriptor = DEFAULT, w: Optional[Vector] = None) -> Vector:
+    """w = u ⊗ v elementwise (reference: operations.hpp:137-267; semiring's
+    MUL op extracted, backend ewisemult.hpp). Dense output; sparse inputs are
+    densified with identity 0 (reference downgrades sparse∘sparse to dense,
+    operations.hpp:331-410)."""
+    return _ewise(u, v, _binop_of(op, use_mul=True), mask, accum, desc, w)
+
+
+def eWiseAdd(u: Vector, v: Union[Vector, float, int], op,
+             mask: Optional[Vector] = None, accum=None,
+             desc: Descriptor = DEFAULT, w: Optional[Vector] = None) -> Vector:
+    """w = u ⊕ v elementwise (reference: operations.hpp:277-353; semiring's
+    ADD monoid extracted). Output is always dense (backend ewiseadd.hpp
+    'output always dense')."""
+    return _ewise(u, v, _binop_of(op, use_mul=False), mask, accum, desc, w)
+
+
+def _ewise(u, v, binop, mask, accum, desc, w) -> Vector:
+    ident = jnp.zeros((), u.dtype)
+    mask_d = _mask_dense(mask)
+    if isinstance(v, Vector):
+        _check(u.n == v.n, "eWise dim mismatch")
+        if u.storage == Storage.SPARSE and v.storage == Storage.DENSE:
+            out = ew.ewise_add_sparse_dense(u.n, u.sind, u.sval, u.snvals,
+                                            v.dense, binop)
+            if mask_d is not None:
+                out = jnp.where(mask_pass(mask_d, desc.mask_scmp), out, ident)
+        else:
+            ud = u.to_dense(0).dense
+            vd = v.to_dense(0).dense
+            out = ew.ewise_binary_dense(ud, vd, binop, 0, mask_d, desc.mask_scmp)
+    else:
+        ud = u.to_dense(0).dense
+        out = ew.ewise_binary_dense(ud, v, binop, 0, mask_d, desc.mask_scmp)
+    out = _apply_accum(w.to_dense(0).dense if w is not None else None, out, accum)
+    return Vector(u.n, Storage.DENSE, dense=out)
+
+
+# ---------------------------------------------------------------------------
+# apply (reference: operations.hpp:560-610)
+# ---------------------------------------------------------------------------
+
+
+def apply(u: Vector, fn, mask: Optional[Vector] = None,
+          desc: Descriptor = DEFAULT) -> Vector:
+    """w = fn(u) elementwise. Runs on-device (the reference falls back to a
+    host loop for stateful functors, backend/cuda/apply.hpp:34-42; with
+    jax.random that hack is unnecessary)."""
+    ud = u.to_dense(0).dense
+    out = ew.apply_unary_dense(ud, fn, _mask_dense(mask), desc.mask_scmp)
+    return Vector(u.n, Storage.DENSE, dense=out)
+
+
+# ---------------------------------------------------------------------------
+# assign (reference: operations.hpp:509-530 → backend 822-860)
+# ---------------------------------------------------------------------------
+
+
+def assign(w: Vector, value, mask: Optional[Vector] = None,
+           desc: Descriptor = DEFAULT) -> Vector:
+    """Masked constant assign over all indices (GrB_ALL). Dense w keeps old
+    values where the mask fails; sparse w sets-then-prunes (SSSP filter,
+    assign.hpp:107-245)."""
+    mask_d = _mask_dense(mask)
+    if w.storage == Storage.SPARSE:
+        sind, sval, nv = ew.assign_constant_sparse(
+            w.n, w.sind, w.sval, w.snvals, value, mask_d, desc.mask_scmp)
+        return Vector(w.n, Storage.SPARSE, sind=sind, sval=sval, snvals=nv)
+    out = ew.assign_constant_dense(w.dense, value, mask_d, desc.mask_scmp)
+    return Vector(w.n, Storage.DENSE, dense=out)
+
+
+def assign_indexed(w: Vector, u: Vector, indices, desc: Descriptor = DEFAULT) -> Vector:
+    """w[indices[i]] = u[i] for given host indices (reference: assignIndexed,
+    operations.hpp:419-439)."""
+    wd = w.to_dense(0).dense
+    ud = u.to_dense(0).dense
+    idx = jnp.asarray(np.asarray(indices), INDEX_DTYPE)
+    return Vector(w.n, Storage.DENSE, dense=ew.scatter_indexed(wd, ud[: idx.shape[0]], idx))
+
+
+# ---------------------------------------------------------------------------
+# reduce (reference: operations.hpp:620-673)
+# ---------------------------------------------------------------------------
+
+
+def reduce_vector(u: Vector, monoid: Monoid, desc: Descriptor = DEFAULT):
+    """vector → scalar (traced). struconly sparse shortcut: count
+    (reference: reduce.hpp:71-75)."""
+    if u.storage == Storage.SPARSE:
+        return ew.reduce_sparse_vector(u.sval, u.snvals, monoid,
+                                       desc.structure_only)
+    return ew.reduce_dense_vector(u.dense, monoid)
+
+
+def reduce_matrix_to_vector(A: Matrix, monoid: Monoid,
+                            desc: Descriptor = DEFAULT) -> Vector:
+    """matrix → vector row-reduce (reference: operations.hpp:620-641;
+    LGC's degree computation)."""
+    out = ew.reduce_matrix_rows(A.row_ptr, A.val, monoid, A.nrows)
+    return Vector(A.nrows, Storage.DENSE, dense=out)
+
+
+def reduce_matrix(A: Matrix, monoid: Monoid, desc: Descriptor = DEFAULT):
+    """matrix → scalar (reference: operations.hpp:651-673; TC's final count)."""
+    valid = jnp.arange(A.nnz_pad, dtype=INDEX_DTYPE) < A.nvals
+    vals = jnp.where(valid, A.val, monoid.identity(A.val.dtype))
+    return segops.reduce_all(vals, monoid)
+
+
+# ---------------------------------------------------------------------------
+# extension ops: scatter / assignScatter / extractGather
+# (reference: operations.hpp:749-814 — CC's pointer-chasing primitives)
+# ---------------------------------------------------------------------------
+
+
+def scatter(w: Vector, indices: Vector, value, desc: Descriptor = DEFAULT) -> Vector:
+    """w[indices[i]] = value (reference: operations.hpp:749-761)."""
+    wd = w.to_dense(0).dense
+    if indices.storage == Storage.SPARSE:
+        idx = indices.sind
+    else:
+        idx = indices.dense.astype(INDEX_DTYPE)
+    return Vector(w.n, Storage.DENSE, dense=ew.scatter_constant(wd, value, idx))
+
+
+def assign_scatter(w: Vector, u: Vector, indices: Vector,
+                   desc: Descriptor = DEFAULT) -> Vector:
+    """w[indices[i]] = u[i] (reference: operations.hpp:771-790 → scatterIndexed,
+    scatter.hpp:85-123). CC's hooking step: parent[parent_temp[i]] = mnp[i]."""
+    wd = w.to_dense(0).dense
+    ud = u.to_dense(0).dense
+    idx = indices.to_dense(0).dense.astype(INDEX_DTYPE)
+    return Vector(w.n, Storage.DENSE, dense=ew.scatter_indexed(wd, ud, idx))
+
+
+def extract_gather(u: Vector, indices: Vector, desc: Descriptor = DEFAULT) -> Vector:
+    """w[i] = u[indices[i]] (reference: operations.hpp:800-814 → gatherIndexed,
+    gather.hpp:11-49). CC's grandparent step."""
+    ud = u.to_dense(0).dense
+    idx = indices.to_dense(0).dense.astype(INDEX_DTYPE)
+    return Vector(u.n, Storage.DENSE, dense=ew.gather_indexed(ud, idx))
+
+
+# ---------------------------------------------------------------------------
+# transpose / tril / trace / graphColor (reference: operations.hpp:682-886)
+# ---------------------------------------------------------------------------
+
+
+def transpose(A: Matrix) -> Matrix:
+    """Aᵀ (reference: transpose.hpp:39-114 cusparseScsr2csc). With dual
+    CSR+CSC storage this is a zero-copy container swap."""
+    return Matrix(A.ncols, A.nrows, A.nvals,
+                  row_ptr=A.col_ptr, col_ind=A.csc_row_ind,
+                  row_ind=A.csc_col_ind, val=A.csc_val,
+                  col_ptr=A.row_ptr, csc_row_ind=A.col_ind,
+                  csc_col_ind=A.row_ind, csc_val=A.val,
+                  format=A.format, symmetric=A.symmetric)
+
+
+def tril(A: Matrix) -> Matrix:
+    """Lower-triangular filter (reference: tri.hpp:10-53, host CSR walk; TC
+    preprocessing). Host-side build-time op, like the reference."""
+    r, c, v = A.extract_tuples()
+    keep = c < r
+    return Matrix.from_coo(r[keep], c[keep], v[keep], A.nrows, A.ncols,
+                           dtype=A.dtype)
+
+
+def trace_mxm_transpose(A: Matrix, B: Matrix, semiring: Semiring,
+                        desc: Descriptor = DEFAULT):
+    """Tr(A ⊕.⊗ Bᵀ) = ⊕_i ⊕_k A[i,k] ⊗ B[i,k] over matching sparsity
+    (reference: operations.hpp:700-711 → trace.hpp:13-49 warp dot + binary
+    search). Re-derived as a sorted-intersection over CSR rows."""
+    from .ops.spgemm import intersect_rows_reduce
+
+    return intersect_rows_reduce(A, B, semiring)

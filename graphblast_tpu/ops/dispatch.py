@@ -1,0 +1,167 @@
+"""Direction-optimized mxv/vxm dispatch — the framework's "brains".
+
+TPU re-design of the reference backend dispatcher
+(backend/cuda/operations.hpp:82-327 vxm/mxv) and the direction heuristic
+(backend/cuda/vector.hpp:292-323 Vector::convert):
+
+  * The reference decides push vs pull on the HOST each iteration (a D→H sync
+    per decision). Here the decision is *traced*: both branches compile into
+    one program and `lax.cond` selects at runtime on-device, so fused
+    algorithm loops run entirely device-resident (SURVEY.md §7 hard part (e)).
+  * A `DualFrontier` keeps the dense image, the compacted sparse image, the
+    stored-entry count, and the previous density ratio live simultaneously —
+    the static-shape answer to the reference's storage tagged-union
+    (vector.hpp:76-84).
+  * Push additionally requires the frontier's expanded edge count to fit the
+    static workspace (edge_cap = memusage · nnz_pad); otherwise we fall back
+    to pull — the memusage-bound behavior of spmspv_inner.hpp:51-59.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..matrix import Matrix
+from ..semiring import Semiring
+from ..types import INDEX_DTYPE
+from ..vector import dense_from_sparse, sparse_from_dense
+from .spmspv import frontier_degrees, spmspv_push
+from .spmv import spmv_pull
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DualFrontier:
+    """Frontier with both storage images + traced direction preference.
+
+    Leaves: dense (n,), sind (n,), sval (n,), snvals (), ratio (), use_sparse ()
+    Static: n. The semiring identity (= "missing entry" encoding in the dense
+    image) is supplied by the algorithm at each construction site.
+    """
+
+    n: int
+    dense: jnp.ndarray
+    sind: jnp.ndarray
+    sval: jnp.ndarray
+    snvals: jnp.ndarray
+    ratio: jnp.ndarray       # previous nnz/n (hysteresis state, vector.hpp:23)
+    use_sparse: jnp.ndarray  # traced bool: push preferred
+
+    def tree_flatten(self):
+        return ((self.dense, self.sind, self.sval, self.snvals,
+                 self.ratio, self.use_sparse), (self.n,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(aux[0], *leaves)
+
+    @staticmethod
+    def from_dense(dense: jnp.ndarray, identity, prefer_sparse: bool = False) -> "DualFrontier":
+        n = dense.shape[0]
+        sind, sval, nv = sparse_from_dense(dense, identity)
+        ratio = nv.astype(jnp.float32) / n
+        return DualFrontier(n, dense, sind, sval, nv, ratio,
+                            jnp.asarray(prefer_sparse))
+
+    @staticmethod
+    def from_sparse(n: int, sind, sval, snvals, identity, dtype=None) -> "DualFrontier":
+        dense = dense_from_sparse(n, sind, sval, snvals, identity)
+        ratio = snvals.astype(jnp.float32) / n
+        return DualFrontier(n, dense, sind, sval, snvals, ratio,
+                            jnp.asarray(True))
+
+
+def update_direction(nv, n: int, prev_ratio, prev_sparse, switchpoint: float,
+                     mode) -> tuple:
+    """The convert() heuristic with hysteresis (reference: vector.hpp:292-323):
+    sparse→dense when density > switchpoint and rising; dense→sparse when
+    density ≤ switchpoint and falling. Returns (use_sparse, ratio)."""
+    from ..types import Direction
+
+    ratio = nv.astype(jnp.float32) / n
+    if mode == Direction.PUSHONLY:
+        return jnp.asarray(True), ratio
+    if mode == Direction.PULLONLY:
+        return jnp.asarray(False), ratio
+    rising = ratio >= prev_ratio
+    use_sparse = jnp.where(
+        ratio > switchpoint,
+        jnp.where(rising, False, prev_sparse),
+        jnp.where(~rising, True, prev_sparse),
+    )
+    return use_sparse, ratio
+
+
+def mxv_dual(
+    A: Matrix,
+    f: DualFrontier,
+    semiring: Semiring,
+    identity,
+    *,
+    transpose: bool = False,           # True → vxm orientation (u ⊗ A)
+    mask_dense: Optional[jnp.ndarray] = None,
+    mask_scmp: bool = False,
+    structure_only: bool = False,
+    edge_cap: Optional[int] = None,
+    sort_push: bool = True,
+    switchpoint: float = 0.01,
+    mode=None,
+) -> DualFrontier:
+    """One direction-optimized y = A ⊗ f (or fᵀ ⊗ A when transpose).
+
+    Single traced program: lax.cond(push, pull). Output is a fresh
+    DualFrontier whose direction preference has been updated by the density
+    heuristic — i.e. this fuses the reference's vxm + convert() pair
+    (operations.hpp:108-199) into one jitted step.
+    """
+    from ..types import Direction
+
+    mode = mode if mode is not None else Direction.PUSHPULL
+    n_out = A.ncols if transpose else A.nrows
+
+    # orientation: pull iterates output segments; push expands input adjacency
+    if transpose:  # vxm: pull over CSC (columns of A = rows of Aᵀ), push over CSR
+        pull_ptr, pull_ind, pull_val = A.col_ptr, A.csc_row_ind, A.csc_val
+        push_ptr, push_ind, push_val = A.row_ptr, A.col_ind, A.val
+    else:          # mxv: pull over CSR, push over CSC
+        pull_ptr, pull_ind, pull_val = A.row_ptr, A.col_ind, A.val
+        push_ptr, push_ind, push_val = A.col_ptr, A.csc_row_ind, A.csc_val
+
+    can_pull = pull_ptr is not None
+    can_push = push_ptr is not None
+    if not can_push:   # CSRONLY forces one direction (operations.hpp:131-140)
+        mode = Direction.PULLONLY
+    if not can_pull:
+        mode = Direction.PUSHONLY
+
+    if edge_cap is None:
+        edge_cap = A.nnz_pad
+
+    def do_pull(_):
+        return spmv_pull(pull_ptr, pull_ind, pull_val, f.dense, semiring,
+                         n_out, mask_dense, mask_scmp, structure_only)
+
+    def do_push(_):
+        return spmspv_push(push_ptr, push_ind, push_val, f.sind, f.sval,
+                           f.snvals, semiring, n_out, edge_cap,
+                           mask_dense, mask_scmp, structure_only, sort_push)
+
+    if mode == Direction.PULLONLY:
+        y = do_pull(None)
+        use_push_now = jnp.asarray(False)
+    elif mode == Direction.PUSHONLY:
+        y = do_push(None)
+        use_push_now = jnp.asarray(True)
+    else:
+        # push feasibility: expanded edges must fit the static workspace
+        deg_total = jnp.sum(frontier_degrees(push_ptr, f.sind, f.snvals))
+        use_push_now = f.use_sparse & (deg_total <= edge_cap)
+        y = jax.lax.cond(use_push_now, do_push, do_pull, None)
+
+    sind, sval, nv = sparse_from_dense(y, identity)
+    use_sparse, ratio = update_direction(nv, n_out, f.ratio, use_push_now,
+                                         switchpoint, mode)
+    return DualFrontier(n_out, y, sind, sval, nv, ratio, use_sparse)

@@ -1,0 +1,125 @@
+"""Segmented scan / reduce primitives over CSR edge arrays.
+
+These are the TPU re-derivation of the reference's vendor-library layer
+(moderngpu SpmvCsrBinary / ReduceByKey, CUB DeviceSegmentedReduce — SURVEY.md
+§2.4): instead of warp-level merge-path, we express segment reduction as
+  gather (edge values) → segmented inclusive scan (log-step, vectorized)
+  → gather at segment tails,
+which is scatter-free, deterministic, and maps onto the VPU. Fast paths use
+XLA's native cumsum/cummin/cummax where the monoid allows.
+
+All functions operate on *padded* static-shape arrays; padding edges must carry
+the monoid identity (callers mask them).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..semiring import Monoid, PlusMonoid, MinimumMonoid, MaximumMonoid, LogicalOrMonoid
+from ..types import INDEX_DTYPE
+
+
+def segment_heads(row_ptr: jnp.ndarray, nnz_pad: int) -> jnp.ndarray:
+    """Boolean (nnz_pad,) array: True at the first edge of every row segment.
+
+    Built by scattering row_ptr into a flag array (duplicate pointers from
+    empty rows collapse harmlessly). Edge 0 is always a head.
+    """
+    flags = jnp.zeros((nnz_pad + 1,), dtype=jnp.bool_)
+    flags = flags.at[row_ptr].set(True, mode="drop")
+    flags = flags.at[0].set(True)
+    return flags[:nnz_pad]
+
+
+def segmented_scan(values: jnp.ndarray, heads: jnp.ndarray, monoid: Monoid) -> jnp.ndarray:
+    """Inclusive segmented scan with a generic monoid.
+
+    Classic flag-pair operator lifted to `lax.associative_scan` (log₂ nnz
+    vectorized passes): combine((f1,v1),(f2,v2)) = (f1|f2, f2 ? v2 : v1⊕v2).
+    This replaces warp-scan + ReduceByKey (reference: spmspv_inner.hpp:291-317)
+    with a deterministic data-parallel construct XLA can fuse.
+    """
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        v = jnp.where(fb, vb, monoid(va, vb))
+        return fa | fb, v
+
+    _, scanned = jax.lax.associative_scan(combine, (heads, values))
+    return scanned
+
+
+def segment_reduce_csr(edge_vals: jnp.ndarray, row_ptr: jnp.ndarray,
+                       monoid: Monoid, nrows: int) -> jnp.ndarray:
+    """Per-row reduction of edge values laid out in CSR order.
+
+    Returns (nrows,) with `monoid.identity` for empty rows — matching "no
+    stored value" semantics of the reference's masked SpMV epilogue
+    (backend/cuda/spmv.hpp:188-212). Fast paths:
+      * Plus   → exclusive cumsum difference (2 gathers, no scan operator)
+      * Min/Max/Or → segmented scan specialization via native cummin/cummax is
+        unsafe across segments, so they use the generic flag-scan.
+    """
+    nnz_pad = edge_vals.shape[0]
+    ident = monoid.identity(edge_vals.dtype)
+    starts = row_ptr[:-1]
+    ends = row_ptr[1:]
+
+    if monoid.name == "PlusMonoid" and edge_vals.dtype != jnp.bool_:
+        # sum within [row_ptr[i], row_ptr[i+1]) via prefix sums
+        csum = jnp.concatenate([
+            jnp.zeros((1,), edge_vals.dtype), jnp.cumsum(edge_vals)
+        ])
+        return csum[ends] - csum[starts]
+
+    if monoid.name == "LogicalOrMonoid":
+        # or-reduce == "any nonzero in segment" == segment nonzero-count > 0
+        flags = (edge_vals != 0).astype(jnp.int32)
+        csum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(flags)])
+        out = (csum[ends] - csum[starts]) > 0
+        return out if edge_vals.dtype == jnp.bool_ else out.astype(edge_vals.dtype)
+
+    heads = segment_heads(row_ptr, nnz_pad)
+    scanned = segmented_scan(edge_vals, heads, monoid)
+    # row tail = row_ptr[i+1]-1; empty rows (ptr equal) yield identity
+    tail = jnp.clip(ends - 1, 0, nnz_pad - 1)
+    out = scanned[tail]
+    return jnp.where(ends > starts, out, ident)
+
+
+def segment_reduce_sorted(values: jnp.ndarray, seg_ids: jnp.ndarray,
+                          monoid: Monoid, num_segments: int) -> jnp.ndarray:
+    """Reduce `values` by *sorted* segment ids into (num_segments,).
+
+    Ids >= num_segments are dropped (padding). Used by the push path after the
+    key sort (reference analog: mgpu ReduceByKey, spmspv_inner.hpp:302).
+    """
+    ident = monoid.identity(values.dtype)
+    n = values.shape[0]
+    heads = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_), seg_ids[1:] != seg_ids[:-1]
+    ])
+    scanned = segmented_scan(values, heads, monoid)
+    # tails: last element of each run
+    tails = jnp.concatenate([seg_ids[1:] != seg_ids[:-1], jnp.ones((1,), jnp.bool_)])
+    tgt = jnp.where(tails, seg_ids, num_segments)
+    out = jnp.full((num_segments,), ident, dtype=values.dtype)
+    return out.at[tgt].set(scanned, mode="drop")
+
+
+def reduce_all(values: jnp.ndarray, monoid: Monoid):
+    """Full reduction (reference: reduce.hpp:13-50 via CUB DeviceReduce)."""
+    if monoid.name == "PlusMonoid":
+        return jnp.sum(values)
+    if monoid.name == "MinimumMonoid":
+        return jnp.min(values)
+    if monoid.name == "MaximumMonoid":
+        return jnp.max(values)
+    if monoid.name == "LogicalOrMonoid":
+        return jnp.any(values != 0).astype(values.dtype)
+    if monoid.name == "MultipliesMonoid":
+        return jnp.prod(values)
+    return jax.lax.reduce(values, monoid.identity(values.dtype),
+                          lambda a, b: monoid(a, b), (0,))

@@ -1,0 +1,174 @@
+"""Push-direction SpMSpV: sparse frontier × CSC, semiring-generic.
+
+TPU re-derivation of the merge-path push pipeline
+(reference: backend/cuda/spmspv_inner.hpp:62-320 spmspvApspieMerge):
+
+  reference (CUDA)                         this file (XLA/TPU)
+  ------------------------------------     -----------------------------------
+  indirectScanKernel + mgpu::Scan          degree gather + cumsum offsets
+  IntervalExpand / IntervalGatherIndirect  searchsorted(offsets, iota) gather
+  eWiseMultKernel                          vectorized semiring ⊗
+  CUB DeviceRadixSort (endbit)             lax.sort key-value (int32 keys)
+  mgpu::ReduceByKey                        segmented scan + tail scatter
+  struconly bitmap scatter                 scatter-max of ones (deterministic)
+
+TPUs have no atomics; the sort+segment formulation is deterministic, which
+upgrades the reference's atomicCAS push (kernels/spmspv.hpp:59-84) to
+bitwise-reproducible results (SURVEY.md §5 race-detection note).
+
+Operand convention: ⊗ is applied as mul(matrix_entry, frontier_entry) for both
+mxv and vxm (the only ops the reference exercises with non-commutative ⊗ are
+mxv-oriented, e.g. MinimumSelectSecond in cc.hpp:80); pass swap_mul=True to
+flip.
+
+The frontier lives in padded (ind, val, nvals) arrays; the expanded edge
+workspace has static capacity `edge_cap` (= memusage · nnz_pad, the analog of
+the reference's workspace bound, spmspv_inner.hpp:51-59). Callers must ensure
+the frontier's total degree fits edge_cap or route to pull (the dispatch layer
+checks this — see dispatch.mxv_dual).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..semiring import Semiring
+from ..types import INDEX_DTYPE
+from .segops import segmented_scan
+from .spmv import mask_pass
+
+
+def frontier_degrees(ptr: jnp.ndarray, f_ind: jnp.ndarray, f_nvals) -> jnp.ndarray:
+    """Row lengths of frontier vertices (reference: indirectScanKernel,
+    spmspv_inner.hpp:111-119). Pad slots report degree 0."""
+    cap = f_ind.shape[0]
+    n = ptr.shape[0] - 1
+    fi = jnp.minimum(f_ind, n - 1)
+    slot_valid = jnp.arange(cap, dtype=INDEX_DTYPE) < f_nvals
+    deg = ptr[fi + 1] - ptr[fi]
+    return jnp.where(slot_valid, deg, 0)
+
+
+def expand_frontier(
+    ptr: jnp.ndarray,
+    ind: jnp.ndarray,
+    mat_val: Optional[jnp.ndarray],
+    f_ind: jnp.ndarray,
+    f_val: Optional[jnp.ndarray],
+    f_nvals,
+    edge_cap: int,
+    structure_only: bool,
+    semiring: Semiring,
+    out_dtype,
+    swap_mul: bool = False,
+):
+    """Expand frontier adjacency into flat (dst, ⊗-value, valid) arrays.
+
+    Merge-path equivalent: edge slot e finds its source frontier slot by
+    binary search over the cumsum'd degree offsets (IntervalExpand /
+    IntervalGatherIndirect re-derived as vectorized gathers,
+    reference: spmspv_inner.hpp:178-207).
+
+    Returns (dst, mv, valid, total): destination ids, ⊗ products, lane
+    validity, and the true expanded edge count (traced scalar).
+    """
+    n = ptr.shape[0] - 1
+    deg = frontier_degrees(ptr, f_ind, f_nvals)
+    offsets = jnp.cumsum(deg) - deg  # exclusive scan
+    total = offsets[-1] + deg[-1]
+
+    e = jnp.arange(edge_cap, dtype=INDEX_DTYPE)
+    src_slot = jnp.searchsorted(offsets, e, side="right").astype(INDEX_DTYPE) - 1
+    src_slot = jnp.clip(src_slot, 0, f_ind.shape[0] - 1)
+    fi = jnp.minimum(f_ind[src_slot], n - 1)
+    within = e - offsets[src_slot]
+    edge_idx = jnp.clip(ptr[fi] + within, 0, ind.shape[0] - 1)
+    dst = ind[edge_idx]
+    valid = e < total
+
+    if structure_only:
+        mv = jnp.ones((edge_cap,), out_dtype)
+    else:
+        a = mat_val[edge_idx].astype(out_dtype)
+        b = (f_val[src_slot].astype(out_dtype) if f_val is not None
+             else jnp.ones((edge_cap,), out_dtype))
+        if swap_mul:
+            a, b = b, a
+        mv = semiring.mul(a, b)  # unused-operand gathers are DCE'd by XLA
+    return dst, mv, valid, total
+
+
+def spmspv_push(
+    ptr: jnp.ndarray,
+    ind: jnp.ndarray,
+    mat_val: Optional[jnp.ndarray],
+    f_ind: jnp.ndarray,
+    f_val: Optional[jnp.ndarray],
+    f_nvals,
+    semiring: Semiring,
+    n_out: int,
+    edge_cap: int,
+    mask_dense: Optional[jnp.ndarray] = None,
+    mask_scmp: bool = False,
+    structure_only: bool = False,
+    sort_push: bool = True,
+    swap_mul: bool = False,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Dense-output push: y = ⊕-scatter of frontier-edge products.
+
+    (ptr, ind, mat_val) describe the transpose-relative CSR: for vxm(u, A)
+    pass A's CSR rows; for mxv(A, u) pass A's CSC (the reference dispatches
+    identically, operations.hpp:82-209).
+
+    Returns a dense (n_out,) array with the semiring identity in untouched
+    slots; the dispatch layer re-sparsifies, matching the masked-filter +
+    stream-compact epilogue (reference: spmspv.hpp:111-249).
+    """
+    if out_dtype is None:
+        out_dtype = f_val.dtype if f_val is not None else jnp.float32
+    ident = semiring.identity(out_dtype)
+    dst, mv, valid, _ = expand_frontier(
+        ptr, ind, mat_val, f_ind, f_val, f_nvals, edge_cap,
+        structure_only, semiring, out_dtype, swap_mul)
+
+    tgt = jnp.where(valid, dst, n_out).astype(INDEX_DTYPE)
+    add_name = semiring.add.name
+
+    if structure_only and add_name in ("LogicalOrMonoid", "MaximumMonoid"):
+        # struconly bitmap push (reference: spmspv_inner.hpp:133-134, 292-299):
+        # duplicate-insensitive scatter of ones — skips sort AND reduce.
+        y = (jnp.full((n_out,), ident, out_dtype)
+             .at[tgt].max(jnp.ones((edge_cap,), out_dtype), mode="drop"))
+    elif not sort_push and add_name in ("PlusMonoid", "MinimumMonoid",
+                                        "MaximumMonoid", "LogicalOrMonoid"):
+        # SIMPLE load-balance mode (reference: kernels/spmspv.hpp:92-184
+        # atomic push) → XLA scatter with monoid combiner.
+        base = jnp.full((n_out,), ident, out_dtype)
+        if add_name == "PlusMonoid":
+            y = base.at[tgt].add(jnp.where(valid, mv, jnp.zeros((), out_dtype)),
+                                 mode="drop")
+        elif add_name == "MinimumMonoid":
+            y = base.at[tgt].min(jnp.where(valid, mv, ident), mode="drop")
+        elif add_name == "MaximumMonoid":
+            y = base.at[tgt].max(jnp.where(valid, mv, ident), mode="drop")
+        else:  # LogicalOr
+            y = base.at[tgt].max(jnp.where(valid, (mv != 0).astype(out_dtype),
+                                           jnp.zeros((), out_dtype)), mode="drop")
+    else:
+        # MERGE mode: key-value sort then segmented ⊕-reduce
+        # (reference: spmspv_inner.hpp:219-317). lax.sort is stable on TPU;
+        # invalid lanes carry key n_out, sort to the tail, and are dropped.
+        keys, vals = jax.lax.sort((tgt, mv), num_keys=1)
+        heads = jnp.concatenate([jnp.ones((1,), jnp.bool_), keys[1:] != keys[:-1]])
+        scanned = segmented_scan(vals, heads, semiring.add)
+        tails = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), jnp.bool_)])
+        scatter_tgt = jnp.where(tails, keys, n_out)
+        y = (jnp.full((n_out,), ident, out_dtype)
+             .at[scatter_tgt].set(scanned, mode="drop"))
+
+    if mask_dense is not None:
+        y = jnp.where(mask_pass(mask_dense, mask_scmp), y, ident)
+    return y

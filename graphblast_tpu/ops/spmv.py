@@ -1,0 +1,95 @@
+"""Pull-direction SpMV: dense vector × CSR, semiring-generic, fused mask.
+
+TPU re-derivation of the reference pull path (backend/cuda/spmv.hpp:20-240 and
+kernels/spmv.hpp:10-59 spmvDenseMaskedOrKernel): instead of row-per-thread
+scans with early exit, we run
+
+    gather x at column indices → ⊗ edge values → segmented ⊕-reduce per row
+    → fused mask select
+
+entirely on the VPU with static shapes. The boolean/struconly + LogicalOrAnd
+specialization skips the value multiply exactly like the reference's
+template variants (spmv.hpp:84-96 semiring probe).
+
+All inputs are raw arrays so the same function serves mxv pull (CSR), vxm pull
+(CSC-as-CSR of Aᵀ), jit loops, and shard_map local shards.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..semiring import Semiring
+from .segops import segment_reduce_csr
+
+
+def mask_pass(mask_dense: jnp.ndarray, scmp: bool) -> jnp.ndarray:
+    """Mask predicate: nonzero passes, scmp complements
+    (reference: kernels/assign_dense.hpp:23-28)."""
+    nz = mask_dense != 0
+    return ~nz if scmp else nz
+
+
+def spmv_pull(
+    row_ptr: jnp.ndarray,
+    col_ind: jnp.ndarray,
+    val: Optional[jnp.ndarray],
+    x_dense: jnp.ndarray,
+    semiring: Semiring,
+    nrows: int,
+    mask_dense: Optional[jnp.ndarray] = None,
+    mask_scmp: bool = False,
+    structure_only: bool = False,
+    swap_mul: bool = False,
+) -> jnp.ndarray:
+    """y[i] = ⊕_{j ∈ A(i,:)} A[i,j] ⊗ x[j]; masked-out rows get the identity.
+
+    ⊗ operand order is mul(matrix_entry, x_entry); swap_mul flips it (see
+    spmspv.py header for the convention note).
+
+    Padding safety: padded edge slots live beyond row_ptr[nrows] and are never
+    addressed by any segment, so no validity mask is needed (capacity padding
+    is invisible to the reduction).
+    """
+    out_dtype = x_dense.dtype
+    ident = semiring.identity(out_dtype)
+
+    xg = x_dense[col_ind]  # (nnz_pad,) gather
+    if structure_only and semiring.name == "LogicalOrAnd":
+        # struconly BFS pull: edge contributes iff frontier bit set
+        # (reference: kernels/spmv.hpp:10-59 fused-or kernel)
+        edge_vals = xg
+    else:
+        a = val.astype(out_dtype)
+        b = xg
+        if swap_mul:
+            a, b = b, a
+        edge_vals = semiring.mul(a, b)  # unused-operand gathers are DCE'd
+
+    y = segment_reduce_csr(edge_vals, row_ptr, semiring.add, nrows)
+    y = y.astype(out_dtype) if y.dtype != out_dtype else y
+
+    if mask_dense is not None:
+        y = jnp.where(mask_pass(mask_dense, mask_scmp), y, ident)
+    return y
+
+
+def spmv_pull_or_fused(
+    row_ptr: jnp.ndarray,
+    col_ind: jnp.ndarray,
+    x_dense: jnp.ndarray,
+    nrows: int,
+    mask_dense: Optional[jnp.ndarray] = None,
+    mask_scmp: bool = False,
+) -> jnp.ndarray:
+    """Specialized boolean BFS pull: y = (A ∨.∧ x) under mask, output 0/1.
+
+    Mirrors spmvDenseMaskedOrKernel<UseScmp,...> (kernels/spmv.hpp:10-59); on
+    TPU "early exit" is replaced by the or-counting fast path in
+    segment_reduce_csr (prefix-sum of nonzero flags — one pass, no scan tree).
+    """
+    from ..semiring import LogicalOrAndSemiring
+
+    return spmv_pull(row_ptr, col_ind, None, x_dense, LogicalOrAndSemiring,
+                     nrows, mask_dense, mask_scmp, structure_only=True)

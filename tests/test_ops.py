@@ -1,0 +1,214 @@
+"""Op-level tier-1 tests vs dense NumPy semiring references.
+
+Reference analog: test/g{vxm,spmspv,push,pull,reduce,ewiseadd,ewisemult,
+assign}.cu — each op checked against a host ground truth on small fixtures
+(SURVEY.md §4 tier 1)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import graphblast_tpu as gb
+from graphblast_tpu import Descriptor, Direction, Storage, Vector
+
+
+MAXF = float(np.finfo(np.float32).max)
+
+
+def dense_semiring_mxv(Ad, x, add, mul, ident):
+    """Dense reference: y[i] = ⊕_j A[i,j]⊗x[j] over STORED entries only."""
+    n = Ad.shape[0]
+    y = np.full(n, ident, dtype=np.float32)
+    for i in range(n):
+        for j in range(Ad.shape[1]):
+            if Ad[i, j] != 0:
+                y[i] = add(y[i], mul(np.float32(Ad[i, j]), np.float32(x[j])))
+    return y
+
+
+SEMIRING_CASES = [
+    (gb.PlusMultipliesSemiring, lambda a, b: a + b, lambda a, b: a * b, 0.0),
+    (gb.MinimumPlusSemiring, min, lambda a, b: a + b, MAXF),
+    (gb.MaximumMultipliesSemiring, max, lambda a, b: a * b, 0.0),
+    (gb.LogicalOrAndSemiring, lambda a, b: float(bool(a) or bool(b)),
+     lambda a, b: float(bool(a) and bool(b)), 0.0),
+    (gb.MinimumSelectSecondSemiring, min, lambda a, b: b, MAXF),
+]
+
+
+@pytest.mark.parametrize("sr,add,mul,ident", SEMIRING_CASES,
+                         ids=[c[0].name for c in SEMIRING_CASES])
+@pytest.mark.parametrize("direction", [Direction.PULLONLY, Direction.PUSHONLY])
+def test_mxv_semirings(chesapeake, rng, sr, add, mul, ident, direction):
+    A = chesapeake
+    Ad = A.to_dense()
+    x = (rng.rand(A.ncols) * 4).astype(np.float32)
+    x[rng.rand(A.ncols) < 0.5] = ident  # mix in identity entries
+    desc = Descriptor(mxv_mode=direction)
+    if direction == Direction.PUSHONLY:
+        u = Vector.dense_from(jnp.asarray(x)).to_sparse(ident)
+    else:
+        u = Vector.dense_from(jnp.asarray(x))
+    y = gb.mxv(A, u, sr, desc=desc)
+    expect = dense_semiring_mxv(Ad, x, add, mul, ident)
+    # accumulation-order tolerance: the reference itself accepts 1e-3
+    # (test/test.hpp:7-17); prefix-sum reassociation stays well inside it
+    np.testing.assert_allclose(y.to_numpy(ident), expect, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("direction", [Direction.PULLONLY, Direction.PUSHONLY])
+def test_vxm_is_transpose_mxv(test_cc, rng, direction):
+    A = test_cc
+    Ad = A.to_dense()
+    x = rng.rand(A.nrows).astype(np.float32)
+    desc = Descriptor(mxv_mode=direction)
+    u = Vector.dense_from(jnp.asarray(x))
+    if direction == Direction.PUSHONLY:
+        u = u.to_sparse(0)
+    y = gb.vxm(u, A, gb.PlusMultipliesSemiring, desc=desc)
+    np.testing.assert_allclose(y.to_numpy(0), Ad.T @ x, rtol=1e-4)
+
+
+def test_masked_mxv_scmp(chesapeake, rng):
+    """BFS-style masked pull: masked-out rows get the identity
+    (reference: spmv.hpp:96-212)."""
+    A = chesapeake
+    Ad = A.to_dense()
+    x = (rng.rand(A.ncols) < 0.3).astype(np.float32)
+    m = (rng.rand(A.nrows) < 0.5).astype(np.float32)
+    u = Vector.dense_from(jnp.asarray(x))
+    mask = Vector.dense_from(jnp.asarray(m))
+    desc = Descriptor(mask_scmp=True, mxv_mode=Direction.PULLONLY)
+    y = gb.mxv(A, u, gb.LogicalOrAndSemiring, mask=mask, desc=desc)
+    expect = (Ad @ x > 0).astype(np.float32)
+    expect[m != 0] = 0.0  # scmp: only mask==0 rows pass
+    np.testing.assert_allclose(y.to_numpy(0), expect)
+
+
+def test_masked_push(chesapeake, rng):
+    A = chesapeake
+    Ad = A.to_dense()
+    m = (rng.rand(A.nrows) < 0.5).astype(np.float32)
+    src = [0, 5, 9]
+    u = Vector.sparse_from(A.ncols, src, [1.0, 1.0, 1.0])
+    mask = Vector.dense_from(jnp.asarray(m))
+    desc = Descriptor(mask_scmp=True, mxv_mode=Direction.PUSHONLY,
+                      structure_only=True)
+    y = gb.mxv(A, u, gb.LogicalOrAndSemiring, mask=mask, desc=desc)
+    x = np.zeros(A.ncols, np.float32)
+    x[src] = 1
+    expect = (Ad @ x > 0).astype(np.float32)
+    expect[m != 0] = 0.0
+    np.testing.assert_allclose(y.to_numpy(0), expect)
+
+
+def test_ewise_add_uses_add_op(rng):
+    u = Vector.dense_from(jnp.asarray(rng.rand(16).astype(np.float32)))
+    v = Vector.dense_from(jnp.asarray(rng.rand(16).astype(np.float32)))
+    # MinimumPlus: eWiseAdd → min (relaxation, sssp.hpp:80-82)
+    w = gb.eWiseAdd(u, v, gb.MinimumPlusSemiring)
+    np.testing.assert_allclose(w.to_numpy(), np.minimum(u.to_numpy(), v.to_numpy()))
+    # CustomLessPlus: eWiseAdd → less (productive detect, sssp.hpp:76-78)
+    w2 = gb.eWiseAdd(u, v, gb.CustomLessPlusSemiring)
+    np.testing.assert_allclose(w2.to_numpy(), (u.to_numpy() < v.to_numpy()).astype(np.float32))
+
+
+def test_ewise_mult_uses_mul_op(rng):
+    u = Vector.dense_from(jnp.asarray(rng.rand(16).astype(np.float32)))
+    v = Vector.dense_from(jnp.asarray(rng.rand(16).astype(np.float32)))
+    # PlusMinus: eWiseMult → minus (PR residual, pr.hpp:76-78)
+    w = gb.eWiseMult(u, v, gb.PlusMinusSemiring)
+    np.testing.assert_allclose(w.to_numpy(), u.to_numpy() - v.to_numpy(), rtol=1e-6)
+
+
+def test_ewise_add_sparse_dense(rng):
+    n = 20
+    vd = rng.rand(n).astype(np.float32)
+    u = Vector.sparse_from(n, [2, 7, 11], [5.0, 6.0, 7.0])
+    v = Vector.dense_from(jnp.asarray(vd))
+    w = gb.eWiseAdd(u, v, gb.MinimumPlusSemiring)
+    expect = vd.copy()
+    for i, val in zip([2, 7, 11], [5.0, 6.0, 7.0]):
+        expect[i] = min(val, expect[i])
+    np.testing.assert_allclose(w.to_numpy(), expect)
+
+
+def test_assign_masked_dense(rng):
+    n = 16
+    w = Vector.full(n, 0.0)
+    m = (rng.rand(n) < 0.5).astype(np.float32)
+    mask = Vector.dense_from(jnp.asarray(m))
+    out = gb.assign(w, 3.0, mask=mask)
+    expect = np.where(m != 0, 3.0, 0.0).astype(np.float32)
+    np.testing.assert_allclose(out.to_numpy(), expect)
+
+
+def test_assign_sparse_prunes(rng):
+    """SSSP frontier filter: masked assign FLT_MAX then prune
+    (reference: assign.hpp:107-245)."""
+    n = 12
+    w = Vector.sparse_from(n, [1, 4, 8], [0.5, 0.7, 0.9])
+    m = np.zeros(n, np.float32)
+    m[4] = 1.0  # productive
+    mask = Vector.dense_from(jnp.asarray(m))
+    desc = Descriptor(mask_scmp=True)  # assign where ¬productive
+    out = gb.assign(w, MAXF, mask=mask, desc=desc)
+    ind, val = out.extract_tuples()
+    assert list(ind) == [4]
+    np.testing.assert_allclose(val, [0.7])
+
+
+def test_reduce_variants(chesapeake, rng):
+    x = rng.rand(39).astype(np.float32)
+    u = Vector.dense_from(jnp.asarray(x))
+    assert np.isclose(float(gb.reduce_vector(u, gb.PlusMonoid)), x.sum(), rtol=1e-6)
+    us = Vector.sparse_from(39, [3, 5], [2.0, 7.0])
+    assert float(gb.reduce_vector(us, gb.PlusMonoid)) == 9.0
+    # struconly shortcut: count (reference: reduce.hpp:71-75)
+    assert float(gb.reduce_vector(us, gb.PlusMonoid,
+                                  desc=Descriptor(structure_only=True))) == 2.0
+    # matrix row-reduce = degrees for pattern graph
+    deg = gb.reduce_matrix_to_vector(chesapeake, gb.PlusMonoid)
+    np.testing.assert_allclose(deg.to_numpy(), chesapeake.to_dense().sum(1))
+    # matrix full reduce
+    assert np.isclose(float(gb.reduce_matrix(chesapeake, gb.PlusMonoid)),
+                      chesapeake.to_dense().sum())
+
+
+def test_scatter_gather(rng):
+    n = 10
+    parent = Vector.ascending(n)
+    idx = Vector.dense_from(jnp.asarray(rng.randint(0, n, n), jnp.int32))
+    g = gb.extract_gather(parent, idx)
+    np.testing.assert_array_equal(g.to_numpy(), np.arange(n)[idx.to_numpy()])
+    u = Vector.dense_from(jnp.asarray(rng.rand(n).astype(np.float32)))
+    w = Vector.full(n, 0.0)
+    s = gb.assign_scatter(w, u, idx)
+    expect = np.zeros(n, np.float32)
+    expect[idx.to_numpy()] = u.to_numpy()  # dup indices: one writer wins
+    got = s.to_numpy()
+    # for dup indices any of the written values is acceptable; check non-dup
+    uniq, counts = np.unique(idx.to_numpy(), return_counts=True)
+    for i in uniq[counts == 1]:
+        assert got[i] == u.to_numpy()[list(idx.to_numpy()).index(i)]
+
+
+def test_transpose_zero_copy(test_cc):
+    At = gb.transpose(test_cc)
+    np.testing.assert_allclose(At.to_dense(), test_cc.to_dense().T)
+
+
+def test_tril(chesapeake):
+    L = gb.tril(chesapeake)
+    Ld = L.to_dense()
+    assert np.all(np.triu(Ld) == 0)
+    np.testing.assert_allclose(Ld, np.tril(chesapeake.to_dense(), -1))
+
+
+def test_storage_conversions(rng):
+    x = rng.rand(25).astype(np.float32)
+    x[rng.rand(25) < 0.6] = 0
+    v = Vector.dense_from(jnp.asarray(x))
+    s = v.to_sparse(0)
+    assert int(s.snvals) == (x != 0).sum()
+    back = s.to_dense(0)
+    np.testing.assert_allclose(back.dense, x)
