@@ -1,0 +1,117 @@
+"""Direction-optimized BFS (reference: graphblas/algorithm/bfs.hpp:14-89).
+
+Per iteration (the reference recipe, re-fused for TPU):
+    assign(v, mask=f1, iter)                        # label newly-found
+    f2 = vxm(¬v-masked, LogicalOrAnd, f1, A)        # expand frontier
+    succ = reduce(+, f2)                            # convergence scalar
+
+`mode="fused"` traces the whole loop as one lax.while_loop — zero host syncs
+until convergence (the reference pays one D→H per iteration, reduce.hpp:43).
+`mode="stepped"` mirrors the reference driver: one jitted step per iteration
+with per-iteration CSV timing (`iter, succ/n, unvisited, push|pull, ms`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..descriptor import Descriptor, BFS_TUNED
+from ..matrix import Matrix
+from ..semiring import LogicalOrAndSemiring
+from ..types import Direction, INDEX_DTYPE
+from ..vector import Vector
+from ..ops.dispatch import DualFrontier, mxv_dual
+from .common import TightTimer, dense_result, edge_cap_for, print_iter_row
+
+
+def _initial_frontier(n: int, source, dtype=jnp.float32) -> DualFrontier:
+    source = jnp.asarray(source, INDEX_DTYPE)
+    dense = jnp.zeros((n,), dtype).at[source].set(1)
+    sind = jnp.full((n,), n, INDEX_DTYPE).at[0].set(source)
+    sval = jnp.zeros((n,), dtype).at[0].set(1)
+    return DualFrontier(n, dense, sind, sval, jnp.asarray(1, INDEX_DTYPE),
+                        jnp.asarray(1.0 / n, jnp.float32), jnp.asarray(True))
+
+
+def _bfs_step(A: Matrix, v, f: DualFrontier, it, *, struconly, edge_cap,
+              switchpoint, mode, sort_push):
+    """One BFS iteration: label + masked expand. Shared by both modes."""
+    # assign(v, mask=f1, iter, GrB_ALL) — bfs.hpp:64-65
+    v = jnp.where(f.dense != 0, jnp.asarray(it, v.dtype).astype(v.dtype), v)
+    # scmp-masked vxm — bfs.hpp:67-70 (mask = visited v, complemented)
+    f2, used_push = mxv_dual(
+        A, f, LogicalOrAndSemiring, identity=jnp.zeros((), v.dtype),
+        transpose=True, mask_dense=v, mask_scmp=True,
+        structure_only=struconly, edge_cap=edge_cap, sort_push=sort_push,
+        switchpoint=switchpoint, mode=mode)
+    succ = f2.snvals  # struconly reduce == nvals (reduce.hpp:71-75)
+    return v, f2, succ, used_push
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "struconly", "edge_cap", "switchpoint", "mode", "sort_push", "max_niter"))
+def _bfs_fused(A: Matrix, source, *, struconly, edge_cap, switchpoint, mode,
+               sort_push, max_niter):
+    n = A.nrows
+    v0 = jnp.zeros((n,), jnp.float32)
+    f0 = _initial_frontier(n, source)
+
+    def cond(state):
+        it, v, f, succ = state
+        return (succ > 0) & (it <= max_niter)
+
+    def body(state):
+        it, v, f, _ = state
+        v, f2, succ, _ = _bfs_step(A, v, f, it, struconly=struconly,
+                                   edge_cap=edge_cap, switchpoint=switchpoint,
+                                   mode=mode, sort_push=sort_push)
+        return it + 1, v, f2, succ
+
+    it, v, f, succ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1, INDEX_DTYPE), v0, f0,
+                     jnp.asarray(1, INDEX_DTYPE)))
+    return v, it - 1
+
+
+_bfs_step_jit = jax.jit(_bfs_step, static_argnames=(
+    "struconly", "edge_cap", "switchpoint", "mode", "sort_push"))
+
+
+def bfs(A: Matrix, source: int, desc: Descriptor = BFS_TUNED,
+        mode: str = "fused") -> Vector:
+    """BFS levels: source = 1, unreached = 0 (reference: bfs.hpp:14-89,
+    levels convention per SimpleReferenceBfs test_bfs.hpp:19-22)."""
+    kw = dict(struconly=desc.structure_only, edge_cap=edge_cap_for(A, desc),
+              switchpoint=desc.switchpoint, mode=desc.mxv_mode,
+              sort_push=desc.sort_push)
+    n = A.nrows
+    if mode == "fused":
+        v, _ = _bfs_fused(A, source, max_niter=desc.max_niter, **kw)
+        return dense_result(n, v)
+
+    # stepped: host loop, CSV parity with the reference driver
+    timer = TightTimer()
+    v = jnp.zeros((n,), jnp.float32)
+    f = _initial_frontier(n, source)
+    unvisited = n
+    succ = 1
+    for it in range(1, desc.max_niter + 1):
+        timer.start()
+        v, f, succ_t, used_push = _bfs_step_jit(A, v, f, it, **kw)
+        ms = timer.stop(v, f.dense)
+        succ = int(succ_t)
+        unvisited -= succ
+        print_iter_row(it, succ, n, unvisited, bool(used_push), ms,
+                       desc.timing)
+        if succ == 0:
+            break
+    return dense_result(n, v)
+
+
+def bfs_cpu(A: Matrix, source: int):
+    """Golden CPU reference passthrough (reference: bfs.hpp:92-113 bfsCpu)."""
+    from .reference import bfs_cpu as _impl
+
+    return _impl(A, source)

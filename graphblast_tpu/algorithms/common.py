@@ -1,0 +1,58 @@
+"""Shared algorithm-loop machinery: jitted step caching, timers, CSV output.
+
+The reference embeds a "tight timer" and per-iteration CSV rows in every
+algorithm (bfs.hpp:42-60 `iter, succ/n, unvisited, push|pull, ms`); stepped
+mode reproduces that contract. Fused mode runs the whole convergence loop as
+one `lax.while_loop` on device (the reference's minimum of one D→H scalar
+sync per iteration, reduce.hpp:43, drops to zero).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..descriptor import Descriptor
+from ..matrix import Matrix
+from ..types import round_up
+from ..vector import Vector
+from ..types import Storage
+
+
+def edge_cap_for(A: Matrix, desc: Descriptor) -> int:
+    """Static push workspace bound = memusage · nnz_pad
+    (reference: spmspv_inner.hpp:51-59, util.hpp:91-92 --memusage)."""
+    cap = int(round_up(max(int(A.nnz_pad * min(desc.memusage, 1.0)), 128), 128))
+    return min(cap, A.nnz_pad)
+
+
+class TightTimer:
+    """Reference GpuTimer analog (backend/cuda/util.hpp:92-120): measures only
+    the iteration loop, excluding graph build."""
+
+    def __init__(self):
+        self.total_ms = 0.0
+        self._t0 = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, *sync_on):
+        for x in sync_on:
+            jax.block_until_ready(x)
+        ms = (time.perf_counter() - self._t0) * 1000.0
+        self.total_ms += ms
+        return ms
+
+
+def print_iter_row(it, succ, n, unvisited, used_push, ms, timing: int):
+    """`iter, succ/n, unvisited, push|pull, ms` (reference: bfs.hpp:54-60)."""
+    if timing >= 1:
+        mode = "push" if used_push else "pull"
+        print(f"{it}, {succ}/{n}, {unvisited}, {mode}, {ms:.4f}")
+
+
+def dense_result(n, arr) -> Vector:
+    return Vector(n, Storage.DENSE, dense=arr)

@@ -1,0 +1,122 @@
+"""SSSP — Bellman-Ford with frontier filtering
+(reference: graphblas/algorithm/sssp.hpp:15-103).
+
+Per iteration:
+    f2 = vxm(MinimumPlus, f1, A)                 # relax candidates
+    m  = f2 < v                                  # productive detect
+                                                 #   (eWiseAdd CustomLessPlus)
+    v  = min(v, f2)                              # relax (eWiseAdd MinimumPlus)
+    f2 = FLT_MAX where ¬m                        # filter unproductive
+                                                 #   (scmp-masked assign+prune)
+    converged when f1 empty or no productive vertices
+
+The filter is fused into the matvec epilogue via mxv_dual's postprocess (the
+reference's applyVxm fusion idea, operations.hpp:1275-1404), so each iteration
+is a single traced step; the productive count equals the filtered frontier's
+nvals, collapsing the reference's two convergence scalars into one.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..descriptor import Descriptor, DEFAULT
+from ..matrix import Matrix
+from ..semiring import MinimumPlusSemiring
+from ..types import INDEX_DTYPE
+from ..vector import Vector
+from ..ops.dispatch import DualFrontier, mxv_dual
+from .common import TightTimer, dense_result, edge_cap_for, print_iter_row
+
+MAXF = float(jnp.finfo(jnp.float32).max)
+
+
+def _initial_frontier(n: int, source) -> DualFrontier:
+    source = jnp.asarray(source, INDEX_DTYPE)
+    dense = jnp.full((n,), MAXF, jnp.float32).at[source].set(0.0)
+    sind = jnp.full((n,), n, INDEX_DTYPE).at[0].set(source)
+    sval = jnp.zeros((n,), jnp.float32)
+    return DualFrontier(n, dense, sind, sval, jnp.asarray(1, INDEX_DTYPE),
+                        jnp.asarray(1.0 / n, jnp.float32), jnp.asarray(True))
+
+
+def _sssp_step(A: Matrix, v, f: DualFrontier, *, edge_cap, switchpoint, mode,
+               sort_push):
+    def filter_unproductive(y):
+        # eWiseAdd(m, CustomLessPlus, f2, v) + scmp-masked assign FLT_MAX
+        # (sssp.hpp:76-88) fused into one where
+        return jnp.where(y < v, y, MAXF)
+
+    f2, used_push = mxv_dual(
+        A, f, MinimumPlusSemiring, identity=jnp.asarray(MAXF, jnp.float32),
+        transpose=True, edge_cap=edge_cap, sort_push=sort_push,
+        switchpoint=switchpoint, mode=mode,
+        postprocess=filter_unproductive)
+    # relax: v = min(v, f2) (eWiseAdd MinimumPlus, sssp.hpp:80-82);
+    # filtered entries are FLT_MAX and cannot lower v
+    v = jnp.minimum(v, f2.dense)
+    succ = f2.snvals  # productive count == filtered frontier size
+    return v, f2, succ, used_push
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "edge_cap", "switchpoint", "mode", "sort_push", "max_niter"))
+def _sssp_fused(A: Matrix, source, *, edge_cap, switchpoint, mode, sort_push,
+                max_niter):
+    n = A.nrows
+    v0 = jnp.full((n,), MAXF, jnp.float32).at[
+        jnp.asarray(source, INDEX_DTYPE)].set(0.0)
+    f0 = _initial_frontier(n, source)
+
+    def cond(state):
+        it, v, f, succ = state
+        return (succ > 0) & (it <= max_niter)
+
+    def body(state):
+        it, v, f, _ = state
+        v, f2, succ, _ = _sssp_step(A, v, f, edge_cap=edge_cap,
+                                    switchpoint=switchpoint, mode=mode,
+                                    sort_push=sort_push)
+        return it + 1, v, f2, succ
+
+    it, v, f, succ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1, INDEX_DTYPE), v0, f0,
+                     jnp.asarray(1, INDEX_DTYPE)))
+    return v, it - 1
+
+
+_sssp_step_jit = jax.jit(_sssp_step, static_argnames=(
+    "edge_cap", "switchpoint", "mode", "sort_push"))
+
+
+def sssp(A: Matrix, source: int, desc: Descriptor = DEFAULT,
+         mode: str = "fused") -> Vector:
+    """Distances from source; unreachable = FLT_MAX (reference: sssp.hpp:26,
+    matching SimpleReferenceSssp conventions)."""
+    kw = dict(edge_cap=edge_cap_for(A, desc), switchpoint=desc.switchpoint,
+              mode=desc.mxv_mode, sort_push=desc.sort_push)
+    n = A.nrows
+    if mode == "fused":
+        v, _ = _sssp_fused(A, source, max_niter=desc.max_niter, **kw)
+        return dense_result(n, v)
+
+    timer = TightTimer()
+    v = jnp.full((n,), MAXF, jnp.float32).at[source].set(0.0)
+    f = _initial_frontier(n, source)
+    for it in range(1, desc.max_niter + 1):
+        timer.start()
+        v, f, succ_t, used_push = _sssp_step_jit(A, v, f, **kw)
+        ms = timer.stop(v, f.dense)
+        succ = int(succ_t)
+        print_iter_row(it, succ, n, n, bool(used_push), ms, desc.timing)
+        if succ == 0:
+            break
+    return dense_result(n, v)
+
+
+def sssp_cpu(A: Matrix, source: int):
+    from .reference import sssp_cpu as _impl
+
+    return _impl(A, source)

@@ -157,8 +157,19 @@ def eWiseMult(u: Vector, v: Union[Vector, float, int], op,
     """w = u ⊗ v elementwise (reference: operations.hpp:137-267; semiring's
     MUL op extracted, backend ewisemult.hpp). Dense output; sparse inputs are
     densified with identity 0 (reference downgrades sparse∘sparse to dense,
-    operations.hpp:331-410)."""
-    return _ewise(u, v, _binop_of(op, use_mul=True), mask, accum, desc, w)
+    operations.hpp:331-410).
+
+    Parity quirks preserved: (a) when `op` is a Semiring, entries where either
+    input equals the ADD identity yield the identity (annihilator semantics of
+    eWiseMultKernel, kernels/ewisemult.hpp:22-23 — this is what keeps LGC's
+    PlusDivides from dividing by zero-degree); (b) mask scmp is IGNORED, the
+    mask applies plainly (kernels/ewisemult.hpp:31 'TODO: add scmp' — LGC's
+    toggle(GrB_MASK) around eWiseMult is a no-op in the reference)."""
+    ann = op.identity(u.dtype) if isinstance(op, Semiring) else None
+    if desc.mask_scmp:
+        desc = desc.replace(mask_scmp=False)  # quirk (b)
+    return _ewise(u, v, _binop_of(op, use_mul=True), mask, accum, desc, w,
+                  annihilator=ann)
 
 
 def eWiseAdd(u: Vector, v: Union[Vector, float, int], op,
@@ -170,7 +181,7 @@ def eWiseAdd(u: Vector, v: Union[Vector, float, int], op,
     return _ewise(u, v, _binop_of(op, use_mul=False), mask, accum, desc, w)
 
 
-def _ewise(u, v, binop, mask, accum, desc, w) -> Vector:
+def _ewise(u, v, binop, mask, accum, desc, w, annihilator=None) -> Vector:
     ident = jnp.zeros((), u.dtype)
     mask_d = _mask_dense(mask)
     if isinstance(v, Vector):
@@ -184,9 +195,18 @@ def _ewise(u, v, binop, mask, accum, desc, w) -> Vector:
             ud = u.to_dense(0).dense
             vd = v.to_dense(0).dense
             out = ew.ewise_binary_dense(ud, vd, binop, 0, mask_d, desc.mask_scmp)
+            if annihilator is not None and mask_d is None:
+                # annihilator applies only in the UNMASKED kernel
+                # (kernels/ewisemult.hpp:22-23 vs masked variant :50-53)
+                ann = jnp.asarray(annihilator, ud.dtype)
+                out = jnp.where((ud == ann) | (vd == ann), ann, out)
     else:
         ud = u.to_dense(0).dense
         out = ew.ewise_binary_dense(ud, v, binop, 0, mask_d, desc.mask_scmp)
+        if annihilator is not None and mask_d is None:
+            ann = jnp.asarray(annihilator, ud.dtype)
+            out = jnp.where((ud == ann) | (jnp.asarray(v, ud.dtype) == ann),
+                            ann, out)
     out = _apply_accum(w.to_dense(0).dense if w is not None else None, out, accum)
     return Vector(u.n, Storage.DENSE, dense=out)
 
@@ -295,6 +315,60 @@ def extract_gather(u: Vector, indices: Vector, desc: Descriptor = DEFAULT) -> Ve
     ud = u.to_dense(0).dense
     idx = indices.to_dense(0).dense.astype(INDEX_DTYPE)
     return Vector(u.n, Storage.DENSE, dense=ew.gather_indexed(ud, idx))
+
+
+# ---------------------------------------------------------------------------
+# matrix scaling (reference: eWiseMult matrix∘scalar ewisemult.hpp:275-344 and
+# matrix∘broadcast-vector eWiseMultRowInner/ColInner ewisemult.hpp:470-620 —
+# the PR driver's A = alpha·A/outdegrees prep, example/gpr.cu:82-98)
+# ---------------------------------------------------------------------------
+
+
+def _scale_vals(A: Matrix, fn, breaks_symmetry: bool) -> Matrix:
+    """fn(val, row_ids, col_ids) → new vals, applied to both CSR and CSC.
+
+    CSC arrays are evaluated with their OWN index arrays (csc_row_ind carries
+    the row id of each CSC-ordered entry) — even when they alias the CSR
+    arrays via structural symmetry, because index-dependent scaling breaks
+    value symmetry and the alias must be materialized."""
+    new_val = fn(A.val, A.row_ind, A.col_ind) if A.val is not None else None
+    if A.csc_val is not None:
+        new_csc = fn(A.csc_val, A.csc_row_ind, A.csc_col_ind)
+    else:
+        new_csc = None
+    return Matrix(A.nrows, A.ncols, A.nvals, A.row_ptr, A.col_ind, A.row_ind,
+                  new_val, A.col_ptr, A.csc_row_ind, A.csc_col_ind, new_csc,
+                  format=A.format,
+                  symmetric=A.symmetric and not breaks_symmetry)
+
+
+def eWiseMult_matrix_scalar(A: Matrix, op, value) -> Matrix:
+    """A' = A ⊗ c elementwise over stored values."""
+    binop = _binop_of(op, use_mul=True)
+    return _scale_vals(A, lambda v, r, c: binop(v, jnp.asarray(value, v.dtype)),
+                       breaks_symmetry=False)
+
+
+def scale_matrix_rows(A: Matrix, vec: Vector, op) -> Matrix:
+    """A'[i,j] = op(A[i,j], vec[i]) (reference: eWiseMultRowInner)."""
+    binop = _binop_of(op, use_mul=True)
+    vd = vec.to_dense(0).dense
+
+    def fn(v, r, c):
+        return binop(v, vd[jnp.minimum(r, vec.n - 1)]).astype(v.dtype)
+
+    return _scale_vals(A, fn, breaks_symmetry=True)
+
+
+def scale_matrix_cols(A: Matrix, vec: Vector, op) -> Matrix:
+    """A'[i,j] = op(A[i,j], vec[j]) (reference: eWiseMultColInner)."""
+    binop = _binop_of(op, use_mul=True)
+    vd = vec.to_dense(0).dense
+
+    def fn(v, r, c):
+        return binop(v, vd[jnp.minimum(c, vec.n - 1)]).astype(v.dtype)
+
+    return _scale_vals(A, fn, breaks_symmetry=True)
 
 
 # ---------------------------------------------------------------------------

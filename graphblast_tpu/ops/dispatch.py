@@ -109,13 +109,21 @@ def mxv_dual(
     sort_push: bool = True,
     switchpoint: float = 0.01,
     mode=None,
-) -> DualFrontier:
+    postprocess=None,
+):
     """One direction-optimized y = A ⊗ f (or fᵀ ⊗ A when transpose).
 
     Single traced program: lax.cond(push, pull). Output is a fresh
     DualFrontier whose direction preference has been updated by the density
     heuristic — i.e. this fuses the reference's vxm + convert() pair
     (operations.hpp:108-199) into one jitted step.
+
+    `postprocess(dense) -> dense` is fused between the matvec and the
+    re-sparsification — the analog of the reference's fused applyVxm
+    (operations.hpp:1275-1404); SSSP's unproductive-vertex filter uses it.
+
+    Returns (DualFrontier, used_push: traced bool) — used_push feeds the
+    per-iteration `push|pull` CSV column (reference: bfs.hpp:54-60).
     """
     from ..types import Direction
 
@@ -161,7 +169,9 @@ def mxv_dual(
         use_push_now = f.use_sparse & (deg_total <= edge_cap)
         y = jax.lax.cond(use_push_now, do_push, do_pull, None)
 
+    if postprocess is not None:
+        y = postprocess(y)
     sind, sval, nv = sparse_from_dense(y, identity)
     use_sparse, ratio = update_direction(nv, n_out, f.ratio, use_push_now,
                                          switchpoint, mode)
-    return DualFrontier(n_out, y, sind, sval, nv, ratio, use_sparse)
+    return DualFrontier(n_out, y, sind, sval, nv, ratio, use_sparse), use_push_now
