@@ -1,0 +1,84 @@
+"""Tier-2 tests for CC, TC, MIS, GC, LGC, diameter — exact goldens where the
+algorithm is deterministic, property verifiers for randomized ones
+(reference pattern: test_cc.hpp:58-95 SimpleVerifyCc etc.)."""
+import numpy as np
+import pytest
+
+import graphblast_tpu as gb
+from graphblast_tpu.algorithms import (cc, tc, triangle_count, mis, gc, lgc,
+                                       diameter, reference)
+from graphblast_tpu.algorithms import verify_cc, verify_mis, verify_gc
+
+
+@pytest.mark.parametrize("mode", ["fused", "stepped"])
+def test_cc_labels(test_cc, mode):
+    labels = cc(test_cc, mode=mode).to_numpy()
+    assert verify_cc(test_cc, labels)
+    # same partition as golden (labels may differ; partition must not)
+    want = reference.cc_cpu(test_cc)
+    # map: two vertices same component iff same golden label
+    for a in range(len(want)):
+        for b in range(a + 1, len(want)):
+            assert (labels[a] == labels[b]) == (want[a] == want[b])
+
+
+def test_cc_connected(chesapeake):
+    labels = cc(chesapeake).to_numpy()
+    assert len(np.unique(labels)) == 1  # chesapeake is connected
+
+
+def test_tc_chesapeake(chesapeake):
+    L = gb.tril(chesapeake)
+    got = tc(L)
+    want = reference.tc_cpu(L)
+    assert got == want
+    assert got == triangle_count(chesapeake)
+
+
+def test_tc_known_triangle():
+    # single triangle 0-1-2 plus a pendant vertex
+    d = np.zeros((4, 4), np.float32)
+    for a, b in [(0, 1), (0, 2), (1, 2), (2, 3)]:
+        d[a, b] = d[b, a] = 1
+    A = gb.Matrix.from_dense(d)
+    assert triangle_count(A) == 1
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_mis_is_maximal_independent(chesapeake, seed):
+    v = mis(chesapeake, seed=seed).to_numpy()
+    assert verify_mis(chesapeake, v)
+
+
+def test_mis_on_components(test_mis_matrix):
+    v = mis(test_mis_matrix, seed=3).to_numpy()
+    assert verify_mis(test_mis_matrix, v)
+
+
+@pytest.fixture(scope="session")
+def test_mis_matrix(data_dir):
+    import os
+
+    return gb.Matrix.from_mtx(os.path.join(data_dir, "test_mis.mtx"))
+
+
+@pytest.mark.parametrize("algo", ["is", "mis", "jp"])
+def test_gc_proper_coloring(chesapeake, algo):
+    v = gc(chesapeake, seed=1, algo=algo).to_numpy()
+    assert verify_gc(chesapeake, v), f"improper coloring from {algo}"
+
+
+def test_lgc_mass_and_locality(chesapeake):
+    p = lgc(chesapeake, 0, alpha=0.15, eps=1e-7).to_numpy()
+    want = reference.lgc_cpu(chesapeake, 0, alpha=0.15, eps=1e-7,
+                             max_niter=10000)
+    np.testing.assert_allclose(p, want, rtol=1e-3, atol=1e-7)
+    assert p[0] > 0.1  # source concentrates mass
+
+
+def test_diameter(chesapeake):
+    d, s = diameter(chesapeake, 0, 10)
+    # golden: eccentricities via BFS
+    eccs = [int(reference.bfs_cpu(chesapeake, src).max()) - 1
+            for src in range(10)]
+    assert d == max(eccs)
