@@ -160,9 +160,16 @@ class Matrix:
         return Matrix(nrows, ncols, nvals, **csr, **csc, format=fmt_out, symmetric=symmetric)
 
     @staticmethod
-    def from_mtx(path: str, directed: int = 0, dtype=jnp.float32, **kw) -> "Matrix":
-        """readMtx + build (reference: util.hpp:364-430 + matrix.hpp:126)."""
-        rows, cols, vals, nrows, ncols, _ = mmio.read_mtx(path, directed=directed)
+    def from_mtx(path: str, directed: int = 0, dtype=jnp.float32,
+                 use_cache: bool = True, **kw) -> "Matrix":
+        """readMtx + build with npz sidecar caching (reference:
+        util.hpp:364-430 readMtx + sparse_matrix.hpp:328-407 .bin cache)."""
+        if use_cache:
+            from .io.cache import read_mtx_cached
+
+            rows, cols, vals, nrows, ncols = read_mtx_cached(path, directed)
+        else:
+            rows, cols, vals, nrows, ncols, _ = mmio.read_mtx(path, directed=directed)
         return Matrix.from_coo(rows, cols, vals, nrows, ncols, dtype=dtype, **kw)
 
     @staticmethod
