@@ -86,9 +86,14 @@ def spgemm_masked(A: Matrix, B: Matrix, M: Matrix, semiring: Semiring,
         total_host = int(np.asarray(deg).sum())
         expansion_cap = max(round_up(max(total_host, 1), 128), 128)
 
+    # scatter + cummax forward-fill instead of searchsorted (binary search
+    # serializes on TPU — see ops/spmspv.py expand_frontier note)
     e = jnp.arange(expansion_cap, dtype=INDEX_DTYPE)
-    m_slot = jnp.searchsorted(offsets, e, side="right").astype(INDEX_DTYPE) - 1
-    m_slot = jnp.clip(m_slot, 0, m_cap - 1)
+    slot_ids = jnp.arange(m_cap, dtype=INDEX_DTYPE)
+    mark_tgt = jnp.where(deg > 0, offsets, expansion_cap)
+    marks = (jnp.zeros((expansion_cap,), INDEX_DTYPE)
+             .at[mark_tgt].max(slot_ids, mode="drop"))
+    m_slot = jax.lax.cummax(marks)
     t = e - offsets[m_slot]
     a_idx = jnp.clip(A.row_ptr[jnp.minimum(mi[m_slot], n - 1)] + t, 0, A.nnz_pad - 1)
     k = A.col_ind[a_idx]

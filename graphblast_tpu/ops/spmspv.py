@@ -79,20 +79,29 @@ def expand_frontier(
     offsets = jnp.cumsum(deg) - deg  # exclusive scan
     total = offsets[-1] + deg[-1]
 
+    # Edge slot e -> source frontier slot, WITHOUT searchsorted: a binary
+    # search is ~log(n) serialized gather passes on TPU (measured ~100ms for
+    # 1M edges); instead scatter each nonempty slot's id at its start offset
+    # and forward-fill with a cumulative max — two streaming passes.
     e = jnp.arange(edge_cap, dtype=INDEX_DTYPE)
-    src_slot = jnp.searchsorted(offsets, e, side="right").astype(INDEX_DTYPE) - 1
-    src_slot = jnp.clip(src_slot, 0, f_ind.shape[0] - 1)
-    fi = jnp.minimum(f_ind[src_slot], n - 1)
-    within = e - offsets[src_slot]
-    edge_idx = jnp.clip(ptr[fi] + within, 0, ind.shape[0] - 1)
-    dst = ind[edge_idx]
+    slot_ids = jnp.arange(f_ind.shape[0], dtype=INDEX_DTYPE)
+    mark_tgt = jnp.where(deg > 0, offsets, edge_cap)  # empty slots: dropped
+    marks = (jnp.zeros((edge_cap,), INDEX_DTYPE)
+             .at[mark_tgt].max(slot_ids, mode="drop"))
+    src_slot = jax.lax.cummax(marks)
+    from .gather_dispatch import take
+
+    fi = jnp.minimum(take(f_ind, src_slot), n - 1)
+    within = e - take(offsets, src_slot)
+    edge_idx = jnp.clip(take(ptr, fi) + within, 0, ind.shape[0] - 1)
+    dst = take(ind, edge_idx)
     valid = e < total
 
     if structure_only:
         mv = jnp.ones((edge_cap,), out_dtype)
     else:
-        a = mat_val[edge_idx].astype(out_dtype)
-        b = (f_val[src_slot].astype(out_dtype) if f_val is not None
+        a = take(mat_val, edge_idx).astype(out_dtype)
+        b = (take(f_val, src_slot).astype(out_dtype) if f_val is not None
              else jnp.ones((edge_cap,), out_dtype))
         if swap_mul:
             a, b = b, a

@@ -52,10 +52,12 @@ def spmv_pull(
     addressed by any segment, so no validity mask is needed (capacity padding
     is invisible to the reduction).
     """
+    from .gather_dispatch import take
+
     out_dtype = x_dense.dtype
     ident = semiring.identity(out_dtype)
 
-    xg = x_dense[col_ind]  # (nnz_pad,) gather
+    xg = take(x_dense, col_ind)  # (nnz_pad,) gather — Pallas kernel on TPU
     if structure_only and semiring.name == "LogicalOrAnd":
         # struconly BFS pull: edge contributes iff frontier bit set
         # (reference: kernels/spmv.hpp:10-59 fused-or kernel)

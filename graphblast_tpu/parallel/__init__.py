@@ -1,0 +1,9 @@
+"""Multi-chip scale-out layer: 1D edge-partitioned shards + XLA collectives.
+
+The reference is strictly single-GPU (SURVEY.md §2.8); this package is the
+TPU framework's distributed axis. Test on CPU with
+XLA_FLAGS=--xla_force_host_platform_device_count=N."""
+
+from .partition import ShardedMatrix, partition, shard_vector
+from .algorithms import bfs_dist, pr_dist, sssp_dist, make_bfs_dist
+from . import ops

@@ -1,0 +1,135 @@
+"""Graph partitioning for multi-chip execution.
+
+The reference is single-GPU (its --ndevice flag is an unimplemented TODO,
+backend/cuda/descriptor.hpp:283-284); this module is the scale-out layer the
+TPU framework adds (SURVEY.md §2.8 "Distributed"):
+
+1D partition over a `Mesh((P,), ('x',))`:
+  * device k owns ROW block k (CSR with global column ids) — the push side of
+    vxm and the pull side of mxv;
+  * device k owns COLUMN block k (CSC with global row ids) — the pull side of
+    vxm and the push side of mxv;
+  * vectors are sharded by vertex block, P('x').
+
+All per-shard arrays are stacked with a leading P axis and device_put with
+NamedSharding(P('x')), so `shard_map(..., in_specs=P('x', ...))` hands each
+device exactly its block. Shapes are equalized across shards (max-nnz
+padding) — the static-shape requirement of SPMD XLA.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..matrix import Matrix
+from ..types import INDEX_DTYPE, round_up
+from ..io import mmio
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ShardedMatrix:
+    """1D-partitioned sparse matrix (square graphs).
+
+    Leaves (leading axis = P, sharded over mesh axis 'x'):
+      csr_ptr (P, rows_per+1) local row pointers
+      csr_ind (P, csr_cap)    GLOBAL column ids        (pad: n_pad sentinel)
+      csr_val (P, csr_cap)
+      csc_ptr (P, rows_per+1) local column pointers
+      csc_ind (P, csc_cap)    GLOBAL row ids           (pad: n_pad sentinel)
+      csc_val (P, csc_cap)
+    Static: n (true), n_pad (= P · rows_per), P, rows_per, nvals.
+    """
+
+    n: int
+    n_pad: int
+    P: int
+    rows_per: int
+    nvals: int
+    csr_ptr: jnp.ndarray
+    csr_ind: jnp.ndarray
+    csr_val: jnp.ndarray
+    csc_ptr: jnp.ndarray
+    csc_ind: jnp.ndarray
+    csc_val: jnp.ndarray
+
+    def tree_flatten(self):
+        return ((self.csr_ptr, self.csr_ind, self.csr_val,
+                 self.csc_ptr, self.csc_ind, self.csc_val),
+                (self.n, self.n_pad, self.P, self.rows_per, self.nvals))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*aux, *leaves)
+
+    @property
+    def dtype(self):
+        return self.csr_val.dtype
+
+
+def _block_csr(rows, cols, vals, lo, hi, n_blocks_pad, dtype):
+    """CSR of rows in [lo, hi) with local row ids, global cols."""
+    sel = (rows >= lo) & (rows < hi)
+    r, c, v = rows[sel] - lo, cols[sel], vals[sel]
+    ptr, ci, vv = mmio.coo_to_csr(r, c, v, hi - lo)
+    return ptr, ci, vv
+
+
+def partition(A: Matrix, mesh: jax.sharding.Mesh, axis: str = "x",
+              pad_edges_to: int = 1024) -> ShardedMatrix:
+    """Host-side 1D partition of A onto `mesh` (reference: none — this is the
+    TPU framework's replacement for the reference's memusage-bounded
+    single-GPU scaling, SURVEY.md §5 long-context note)."""
+    P = mesh.shape[axis]
+    n = A.nrows
+    assert A.nrows == A.ncols, "1D partition assumes square adjacency"
+    rows_per = round_up(n, P * 8) // P
+    n_pad = rows_per * P
+
+    r, c, v = A.extract_tuples()
+    order_r = np.argsort(r, kind="stable")
+    rr, rc, rv = r[order_r], c[order_r], v[order_r]
+
+    csr_blocks, csc_blocks = [], []
+    for k in range(P):
+        lo, hi = k * rows_per, (k + 1) * rows_per
+        csr_blocks.append(_block_csr(rr, rc, rv, lo, hi, n_pad, A.dtype))
+        # column block k = rows of Aᵀ in [lo, hi)
+        csc_blocks.append(_block_csr(rc, rr, rv, lo, hi, n_pad, A.dtype))
+
+    def stack(blocks, cap_round):
+        cap = max(round_up(max(len(b[1]) for b in blocks), cap_round), cap_round)
+        ptrs = np.stack([b[0] for b in blocks]).astype(np.int32)
+        inds = np.full((P, cap), n_pad, dtype=np.int32)
+        vals = np.zeros((P, cap), dtype=np.dtype(A.dtype))
+        for k, b in enumerate(blocks):
+            inds[k, : len(b[1])] = b[1]
+            vals[k, : len(b[2])] = b[2]
+        return ptrs, inds, vals
+
+    csr_ptr, csr_ind, csr_val = stack(csr_blocks, pad_edges_to)
+    csc_ptr, csc_ind, csc_val = stack(csc_blocks, pad_edges_to)
+
+    spec = jax.sharding.PartitionSpec(axis)
+    sh2 = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(axis, None))
+
+    def put(x):
+        return jax.device_put(jnp.asarray(x), sh2)
+
+    return ShardedMatrix(
+        n=n, n_pad=n_pad, P=P, rows_per=rows_per, nvals=A.nvals,
+        csr_ptr=put(csr_ptr), csr_ind=put(csr_ind), csr_val=put(csr_val),
+        csc_ptr=put(csc_ptr), csc_ind=put(csc_ind), csc_val=put(csc_val))
+
+
+def shard_vector(mesh: jax.sharding.Mesh, x: np.ndarray, n_pad: int,
+                 axis: str = "x", fill=0):
+    """Pad a host vector to n_pad and shard it P('x')."""
+    xp = np.full((n_pad,), fill, dtype=x.dtype)
+    xp[: len(x)] = x
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(axis))
+    return jax.device_put(jnp.asarray(xp), sh)

@@ -1,0 +1,103 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md §4: the tier
+the reference lacks): shard-exchange correctness == single-device results."""
+import numpy as np
+import pytest
+
+import jax
+
+import graphblast_tpu as gb
+from graphblast_tpu.algorithms import reference
+from graphblast_tpu.parallel import bfs_dist, pr_dist, sssp_dist, partition
+from graphblast_tpu.semiring import (LogicalOrAndSemiring,
+                                     MinimumPlusSemiring,
+                                     PlusMultipliesSemiring)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must force 8 virtual devices"
+    return jax.make_mesh((8,), ("x",))
+
+
+def test_partition_roundtrip(chesapeake, mesh):
+    Ash = partition(chesapeake, mesh)
+    assert Ash.P == 8
+    assert Ash.n_pad % 8 == 0
+    # reassemble CSR blocks → dense must equal original
+    n, rows_per = Ash.n, Ash.rows_per
+    dense = np.zeros((Ash.n_pad, Ash.n_pad), np.float32)
+    ptr = np.asarray(Ash.csr_ptr)
+    ind = np.asarray(Ash.csr_ind)
+    val = np.asarray(Ash.csr_val)
+    for k in range(8):
+        for r in range(rows_per):
+            for e in range(ptr[k, r], ptr[k, r + 1]):
+                dense[k * rows_per + r, ind[k, e]] = val[k, e]
+    np.testing.assert_allclose(dense[:n, :n], chesapeake.to_dense())
+
+
+@pytest.mark.parametrize("mode", ["pull", "auto"])
+def test_bfs_dist(chesapeake, mesh, mode):
+    got = bfs_dist(chesapeake, 0, mesh, mode=mode)
+    want = reference.bfs_cpu(chesapeake, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bfs_dist_matches_single_device(test_cc, mesh):
+    from graphblast_tpu.algorithms import bfs
+
+    got = bfs_dist(test_cc, 0, mesh, mode="pull")
+    single = bfs(test_cc, 0).to_numpy()
+    np.testing.assert_array_equal(got, single)
+
+
+def test_sssp_dist(chesapeake, mesh):
+    got = sssp_dist(chesapeake, 3, mesh)
+    want = reference.sssp_cpu(chesapeake, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pr_dist(test_pr, mesh):
+    got = pr_dist(test_pr, mesh, alpha=0.85, eps=1e-9)
+    want = reference.pr_cpu(test_pr, alpha=0.85, eps=1e-12, max_niter=200)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-6)
+
+
+def test_push_combiner_generic_monoid(chesapeake, mesh):
+    """all_to_all owner-routing with a non-plus monoid (min-plus push)."""
+    import functools
+    import jax.numpy as jnp
+
+    from graphblast_tpu.parallel import ops as dops
+    from graphblast_tpu.parallel.algorithms import _mat_spec, _shard_edge_cap
+    from graphblast_tpu.types import INDEX_DTYPE
+
+    Ash = partition(chesapeake, mesh)
+    P_ = jax.sharding.PartitionSpec
+
+    def push_step(Ash, f_block):
+        f_ind, f_val, f_nv = dops.local_frontier(f_block, np.float32(np.finfo(np.float32).max))
+        return dops.dist_vxm_push(
+            Ash.csr_ptr[0], Ash.csr_ind[0], Ash.csr_val[0],
+            f_ind, f_val, f_nv, MinimumPlusSemiring, Ash.P, Ash.rows_per,
+            _shard_edge_cap(Ash, gb.DEFAULT))
+
+    fn = jax.jit(jax.shard_map(
+        push_step, mesh=mesh, in_specs=(_mat_spec(), P_("x")),
+        out_specs=P_("x"), check_vma=False))
+
+    MAXF = np.float32(np.finfo(np.float32).max)
+    x = np.full(Ash.n_pad, MAXF, np.float32)
+    x[0] = 0.0
+    x[5] = 2.5
+    sh = jax.sharding.NamedSharding(mesh, P_("x"))
+    xd = jax.device_put(jnp.asarray(x), sh)
+    got = np.asarray(fn(Ash, xd))[: Ash.n]
+
+    Ad = chesapeake.to_dense()
+    want = np.full(Ash.n, MAXF, np.float32)
+    for i in [0, 5]:
+        for j in np.nonzero(Ad[i])[0]:
+            want[j] = min(want[j], x[i] + Ad[i, j])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
