@@ -148,26 +148,43 @@ def mxv_dual(
     if edge_cap is None:
         edge_cap = A.nnz_pad
 
+    from ..types import round_up
+
     def do_pull(_):
         return spmv_pull(pull_ptr, pull_ind, pull_val, f.dense, semiring,
                          n_out, mask_dense, mask_scmp, structure_only)
 
-    def do_push(_):
-        return spmspv_push(push_ptr, push_ind, push_val, f.sind, f.sval,
-                           f.snvals, semiring, n_out, edge_cap,
-                           mask_dense, mask_scmp, structure_only, sort_push)
+    def make_push(cap):
+        def do_push(_):
+            return spmspv_push(push_ptr, push_ind, push_val, f.sind, f.sval,
+                               f.snvals, semiring, n_out, cap,
+                               mask_dense, mask_scmp, structure_only,
+                               sort_push)
+        return do_push
+
+    # workspace tiers: static shapes mean every push pays its full edge_cap
+    # regardless of frontier size, so early small-frontier iterations route
+    # to an 8x smaller workspace (cond ladder; XLA compiles all branches)
+    small_cap = min(edge_cap, max(round_up(edge_cap // 8, 1024), 1024))
 
     if mode == Direction.PULLONLY:
         y = do_pull(None)
         use_push_now = jnp.asarray(False)
     elif mode == Direction.PUSHONLY:
-        y = do_push(None)
+        deg_total = jnp.sum(frontier_degrees(push_ptr, f.sind, f.snvals))
+        y = jax.lax.cond(deg_total <= small_cap, make_push(small_cap),
+                         make_push(edge_cap), None)
         use_push_now = jnp.asarray(True)
     else:
         # push feasibility: expanded edges must fit the static workspace
         deg_total = jnp.sum(frontier_degrees(push_ptr, f.sind, f.snvals))
         use_push_now = f.use_sparse & (deg_total <= edge_cap)
-        y = jax.lax.cond(use_push_now, do_push, do_pull, None)
+
+        def push_tiered(_):
+            return jax.lax.cond(deg_total <= small_cap, make_push(small_cap),
+                                make_push(edge_cap), None)
+
+        y = jax.lax.cond(use_push_now, push_tiered, do_pull, None)
 
     if postprocess is not None:
         y = postprocess(y)

@@ -18,10 +18,30 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..semiring import Semiring
 from .segops import segment_reduce_csr
+
+
+def _bitmap_gather(x_dense: jnp.ndarray, col_ind: jnp.ndarray) -> jnp.ndarray:
+    """Boolean gather via 32-bit packing: pack (x != 0) into int32 words,
+    gather words (table n/32 — far fewer Pallas table passes), test the bit.
+    The TPU analog of the reference's struconly bitmap representation
+    (spmspv_inner.hpp:133-134)."""
+    from .gather_dispatch import take
+
+    n = x_dense.shape[0]
+    from ..types import round_up
+
+    n32 = round_up(n, 32)
+    bits = jnp.pad((x_dense != 0).astype(jnp.int32), (0, n32 - n))
+    pow2 = (1 << jnp.arange(32, dtype=jnp.int32))
+    words = jnp.sum(bits.reshape(-1, 32) * pow2, axis=1).astype(jnp.int32)
+    wg = take(words, (col_ind >> 5).astype(jnp.int32))
+    return (jax.lax.shift_right_logical(
+        wg, (col_ind & 31).astype(jnp.int32)) & 1)
 
 
 def mask_pass(mask_dense: jnp.ndarray, scmp: bool) -> jnp.ndarray:
@@ -57,12 +77,19 @@ def spmv_pull(
     out_dtype = x_dense.dtype
     ident = semiring.identity(out_dtype)
 
-    xg = take(x_dense, col_ind)  # (nnz_pad,) gather — Pallas kernel on TPU
     if structure_only and semiring.name == "LogicalOrAnd":
         # struconly BFS pull: edge contributes iff frontier bit set
-        # (reference: kernels/spmv.hpp:10-59 fused-or kernel)
-        edge_vals = xg
+        # (reference: kernels/spmv.hpp:10-59 fused-or kernel). On TPU the
+        # frontier is packed into a 32x-smaller bitmap first, shrinking the
+        # gather table (and its VMEM pass count) by 32x.
+        from .gather_dispatch import use_pallas
+
+        if use_pallas():
+            edge_vals = _bitmap_gather(x_dense, col_ind).astype(out_dtype)
+        else:
+            edge_vals = take(x_dense, col_ind)
     else:
+        xg = take(x_dense, col_ind)  # (nnz_pad,) gather — Pallas kernel on TPU
         a = val.astype(out_dtype)
         b = xg
         if swap_mul:
