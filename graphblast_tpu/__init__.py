@@ -55,6 +55,7 @@ from .matrix import Matrix
 from .vector import Vector
 from .operations import (
     apply,
+    apply_vxm,
     assign,
     assign_indexed,
     assign_scatter,

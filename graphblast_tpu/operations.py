@@ -396,6 +396,20 @@ def tril(A: Matrix) -> Matrix:
                            dtype=A.dtype)
 
 
+def apply_vxm(u: Vector, A: Matrix, semiring: Semiring,
+              mask: Optional[Vector] = None, accum=None,
+              desc: Descriptor = DEFAULT, w: Optional[Vector] = None) -> Vector:
+    """Fused apply & vector-matrix product: wᵀ = wᵀ accum maskᵀ .* (uᵀ ⊕.⊗ A)
+    (reference: operations.hpp:830-865 → backend/cuda/operations.hpp:1275-1404).
+
+    The reference needs a dedicated fused entry point because its vxm cannot
+    carry an accumulator through the masked push epilogue; here XLA fuses the
+    accum into the same compiled program, so this is vxm's semantics with the
+    accumulation guaranteed fused (used by LGC's residual update,
+    lgc.hpp:121-127)."""
+    return vxm(u, A, semiring, mask=mask, accum=accum, desc=desc, w=w)
+
+
 def trace_mxm_transpose(A: Matrix, B: Matrix, semiring: Semiring,
                         desc: Descriptor = DEFAULT):
     """Tr(A ⊕.⊗ Bᵀ) = ⊕_i ⊕_k A[i,k] ⊗ B[i,k] over matching sparsity

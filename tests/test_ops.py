@@ -212,3 +212,20 @@ def test_storage_conversions(rng):
     assert int(s.snvals) == (x != 0).sum()
     back = s.to_dense(0)
     np.testing.assert_allclose(back.dense, x)
+
+
+def test_apply_vxm_fused_accum(chesapeake, rng):
+    """apply_vxm == vxm with the accumulator fused (reference:
+    operations.hpp:830-865)."""
+    A = chesapeake
+    n = A.nrows
+    x = Vector.dense_from(jnp.asarray(rng.random(n).astype(np.float32)))
+    w = Vector.dense_from(jnp.asarray(rng.random(n).astype(np.float32)))
+    got = gb.apply_vxm(x, A, gb.PlusMultipliesSemiring,
+                       accum=gb.PlusMonoid, w=w)
+    want = gb.vxm(x, A, gb.PlusMultipliesSemiring, accum=gb.PlusMonoid, w=w)
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-5)
+    # and equals dense reference AT x + w
+    Ad = A.to_dense()
+    ref = Ad.T @ np.asarray(x.dense) + np.asarray(w.dense)
+    np.testing.assert_allclose(got.to_numpy(), ref, rtol=1e-4)
