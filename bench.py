@@ -75,13 +75,16 @@ def main():
     bfs_gteps = A.nvals / bfs_s / 1e9
     log(f"BFS: {bfs_s * 1e3:.2f} ms/run → {bfs_gteps:.3f} GTEPS")
 
-    # --- pull SpMV sustained bandwidth ---
+    # --- pull SpMV sustained bandwidth (sort-based value kernel) ---
+    from graphblast_tpu.ops.spmv import spmv_pull_sorted
+
     x = jnp.ones((A.ncols,), jnp.float32)
 
     @jax.jit
     def spmv(A, x):
-        return spmv_pull(A.row_ptr, A.col_ind, A.val, x,
-                         PlusMultipliesSemiring, A.nrows)
+        return spmv_pull_sorted(A.row_ptr, A.csc_col_ind, A.csc_row_ind,
+                                A.csc_val, x, PlusMultipliesSemiring,
+                                A.nrows, A.nvals)
 
     y = spmv(A, x)
     jax.block_until_ready(y)

@@ -21,7 +21,7 @@ from ..matrix import Matrix
 from ..semiring import PlusMultipliesSemiring, PlusMonoid, PlusDividesSemiring, PlusMultipliesSemiring as _PM
 from ..types import INDEX_DTYPE
 from ..vector import Vector
-from ..ops.spmv import spmv_pull
+from ..ops.spmv import spmv_pull, spmv_pull_sorted
 from .common import TightTimer, dense_result, print_iter_row
 
 
@@ -38,8 +38,16 @@ def prepare_pr_matrix(A: Matrix, alpha: float = 0.85) -> Matrix:
 
 def _pr_step(A: Matrix, p, alpha: float):
     # vxm(p_swap, PlusMultiplies, p_prev, A) — pr.hpp:69-71. vxm pull over CSC.
-    p_swap = spmv_pull(A.col_ptr, A.csc_row_ind, A.csc_val, p,
-                       PlusMultipliesSemiring, A.ncols)
+    # On TPU: gather p at CSR row ids (monotone → near-free) and key-sort the
+    # products into CSC order instead of a random gather (spmv_pull_sorted).
+    from ..ops.gather_dispatch import use_pallas
+
+    if use_pallas() and A.row_ind is not None:
+        p_swap = spmv_pull_sorted(A.col_ptr, A.row_ind, A.col_ind, A.val, p,
+                                  PlusMultipliesSemiring, A.ncols, A.nvals)
+    else:
+        p_swap = spmv_pull(A.col_ptr, A.csc_row_ind, A.csc_val, p,
+                           PlusMultipliesSemiring, A.ncols)
     # eWiseAdd(p, PlusMultiplies, p_swap, (1-alpha)/n) — pr.hpp:72-73
     p_new = p_swap + (1.0 - alpha) / A.nrows
     # error = sqrt Σ (p-p_prev)² — pr.hpp:76-81

@@ -29,7 +29,7 @@ from ..semiring import Semiring
 from ..types import INDEX_DTYPE
 from ..vector import dense_from_sparse, sparse_from_dense
 from .spmspv import frontier_degrees, spmspv_push
-from .spmv import spmv_pull
+from .spmv import spmv_pull, spmv_pull_sorted
 
 
 @jax.tree_util.register_pytree_node_class
@@ -150,41 +150,81 @@ def mxv_dual(
 
     from ..types import round_up
 
+    # value pulls route through the sort-based kernel when the transpose
+    # arrays exist (monotone gather + key sort beats a random gather on TPU;
+    # struconly stays on the 32x-packed bitmap path) — see spmv_pull_sorted
+    if transpose:
+        alt = (A.row_ind, A.col_ind, A.val)
+    else:
+        alt = (A.csc_row_ind, A.csc_col_ind, A.csc_val)
+
     def do_pull(_):
+        from .gather_dispatch import use_pallas
+
+        if not structure_only and alt[0] is not None and use_pallas():
+            # orientation: gather ids are the expanded major ids of the
+            # *other* representation (ascending), keys are its minor ids
+            if transpose:   # vxm: gather x at CSR row ids, key = col ids
+                return spmv_pull_sorted(pull_ptr, A.row_ind, A.col_ind, A.val,
+                                        f.dense, semiring, n_out, A.nvals,
+                                        mask_dense, mask_scmp)
+            else:           # mxv: gather x at CSC col ids, key = row ids
+                return spmv_pull_sorted(pull_ptr, A.csc_col_ind, A.csc_row_ind,
+                                        A.csc_val, f.dense, semiring, n_out,
+                                        A.nvals, mask_dense, mask_scmp)
         return spmv_pull(pull_ptr, pull_ind, pull_val, f.dense, semiring,
                          n_out, mask_dense, mask_scmp, structure_only)
 
-    def make_push(cap):
+    def make_push(cap, slice_frontier=False):
+        # intermediate tiers slice the compacted frontier to the tier's
+        # capacity: every expansion stage (marks scatter, degree gather,
+        # cummax) then scales with the tier, not with n. Safe because those
+        # tiers' predicate requires snvals <= cap (valid entries sort to the
+        # front). The final tier keeps the full frontier.
+        fcap = min(f.sind.shape[0], cap) if slice_frontier else f.sind.shape[0]
+
         def do_push(_):
-            return spmspv_push(push_ptr, push_ind, push_val, f.sind, f.sval,
+            return spmspv_push(push_ptr, push_ind, push_val,
+                               f.sind[:fcap],
+                               f.sval[:fcap] if f.sval is not None else None,
                                f.snvals, semiring, n_out, cap,
                                mask_dense, mask_scmp, structure_only,
                                sort_push)
         return do_push
 
     # workspace tiers: static shapes mean every push pays its full edge_cap
-    # regardless of frontier size, so early small-frontier iterations route
-    # to an 8x smaller workspace (cond ladder; XLA compiles all branches)
-    small_cap = min(edge_cap, max(round_up(edge_cap // 8, 1024), 1024))
+    # regardless of frontier size, so small-frontier iterations route to
+    # 64x / 8x smaller workspaces (cond ladder; XLA compiles all branches but
+    # executes one — every stage of a push scales linearly with its cap)
+    tiers = []
+    for div in (64, 8):
+        c = min(edge_cap, max(round_up(edge_cap // div, 1024), 1024))
+        if c < edge_cap and c not in tiers:
+            tiers.append(c)
+    tiers.append(edge_cap)
+
+    def push_tiered_fn(deg_total):
+        def build(idx):
+            cap = tiers[idx]
+            if idx == len(tiers) - 1:
+                return make_push(cap)
+            fits = (deg_total <= cap) & (f.snvals <= cap)
+            return lambda _: jax.lax.cond(fits, make_push(cap, True),
+                                          build(idx + 1), None)
+        return build(0)
 
     if mode == Direction.PULLONLY:
         y = do_pull(None)
         use_push_now = jnp.asarray(False)
     elif mode == Direction.PUSHONLY:
         deg_total = jnp.sum(frontier_degrees(push_ptr, f.sind, f.snvals))
-        y = jax.lax.cond(deg_total <= small_cap, make_push(small_cap),
-                         make_push(edge_cap), None)
+        y = push_tiered_fn(deg_total)(None)
         use_push_now = jnp.asarray(True)
     else:
         # push feasibility: expanded edges must fit the static workspace
         deg_total = jnp.sum(frontier_degrees(push_ptr, f.sind, f.snvals))
         use_push_now = f.use_sparse & (deg_total <= edge_cap)
-
-        def push_tiered(_):
-            return jax.lax.cond(deg_total <= small_cap, make_push(small_cap),
-                                make_push(edge_cap), None)
-
-        y = jax.lax.cond(use_push_now, push_tiered, do_pull, None)
+        y = jax.lax.cond(use_push_now, push_tiered_fn(deg_total), do_pull, None)
 
     if postprocess is not None:
         y = postprocess(y)

@@ -1,7 +1,7 @@
 """Pallas TPU vectorized gather — the framework's most important kernel.
 
-XLA lowers large 1D gathers on TPU to a ~7.5 ns/element scalar loop (measured
-on TPU v5 lite: 15 ms for 2M elements — the entire SpMV budget). Mosaic does
+XLA lowers large 1D gathers on TPU to a ~7.5 ns/query scalar loop (measured,
+TPU v5 lite: 13 ms for 1.8M queries — the entire SpMV budget). Mosaic does
 expose a fast per-sublane *lane* gather (`tpu.dynamic_gather` via
 jnp.take_along_axis(table (R,128), idx (R,128), axis=1)), limited to 128-entry
 tables per sublane row. This kernel lifts it to arbitrary tables:
@@ -11,15 +11,19 @@ tables per sublane row. This kernel lifts it to arbitrary tables:
       cand = lane_gather(broadcast(x2d[s]), lo)
       acc  = where(hi == s, cand, acc)
 
-  Cost: 3·range/1024 VPU-cycles per element. With unsorted indices
-  range ≈ S; callers that can pre-sort indices (e.g. column-sorted edge
-  layouts built once per matrix) get tight per-chunk ranges and
-  asymptotically fewer passes. Either way this beats XLA's scalar gather
-  by ~5-100× (measured below in bench_gather).
+Measured cost model (TPU v5 lite, 1.8M queries, 65K-entry table):
+  * unsorted idx: sweeps ~S rows per 32K-query chunk → 6.9 ms (2× XLA)
+  * sorted/clustered idx: per-chunk pruning → 0.12 ms (~100× XLA)
+  * tiny tables (S ≤ 128, e.g. 32x bit-packed BFS frontiers): full sweep,
+    no prefetch — `gather_1d_small` below
+The framework therefore ARRANGES for monotone indices wherever possible
+(compacted frontiers, CSR boundary fetches, transpose-order value gathers —
+see ops/spmv.py spmv_pull_sorted) and routes through gather_dispatch.take,
+which picks XLA vs Pallas from this model.
 
-The x table must fit in VMEM (n ≤ ~3M f32 on a 16MB-VMEM core); larger
-tables need column-bucketed layouts (planned: stripe-tiled CSR — see
-PLAN.md roadmap).
+The x table must fit in VMEM for the pruning variant (n ≤ ~2M f32 under the
+8MB budget); bigger tables fall back to XLA until a windowed-DMA variant
+lands.
 """
 from __future__ import annotations
 
@@ -104,3 +108,51 @@ def gather_1d(x: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False) -> jnp.
 def gather_available(n: int, vmem_budget_bytes: int = 8 * 1024 * 1024) -> bool:
     """Whether the table fits the kernel's VMEM budget."""
     return n * 4 <= vmem_budget_bytes
+
+
+def _gather_small_kernel(S, x_ref, idx_ref, out_ref):
+    """Full-sweep variant for tiny tables (S ≤ ~128 rows): no scalar
+    prefetch, hi/lo split computed in-kernel — skips the XLA-side div/mod
+    materialization and the per-chunk min/max reduction, which for small
+    tables cost more than the sweep itself (bitmap-packed BFS pull)."""
+    idx = idx_ref[:]
+    hi = idx // LANE
+    lo = idx % LANE
+    acc0 = jnp.zeros(hi.shape, out_ref.dtype)
+
+    def body(s, acc):
+        row = x_ref[pl.ds(s, 1), :]
+        table = jnp.broadcast_to(row, hi.shape)
+        cand = jnp.take_along_axis(table, lo, axis=1)
+        return jnp.where(hi == s, cand, acc)
+
+    out_ref[:] = jax.lax.fori_loop(0, S, body, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_1d_small(x: jnp.ndarray, idx: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """y[i] = x[idx[i]] for tables of ≤ ~128 sublane rows (full sweep)."""
+    n = x.shape[0]
+    m = idx.shape[0]
+    S = round_up(max(n, 1), LANE) // LANE
+    x2d = jnp.pad(x, (0, S * LANE - n)).reshape(S, LANE)
+
+    chunk = CHUNK_SUB * LANE
+    m_pad = round_up(max(m, 1), chunk)
+    idx_p = jnp.pad(idx, (0, m_pad - m)).astype(jnp.int32).reshape(-1, LANE)
+
+    out = pl.pallas_call(
+        functools.partial(_gather_small_kernel, S),
+        grid=(m_pad // chunk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK_SUB, LANE), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CHUNK_SUB, LANE), lambda c: (c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad // LANE, LANE), x.dtype),
+        interpret=interpret,
+    )(x2d, idx_p)
+    return out.reshape(-1)[:m]

@@ -62,30 +62,37 @@ def segment_reduce_csr(edge_vals: jnp.ndarray, row_ptr: jnp.ndarray,
       * Min/Max/Or → segmented scan specialization via native cummin/cummax is
         unsafe across segments, so they use the generic flag-scan.
     """
+    from .gather_dispatch import take
+
     nnz_pad = edge_vals.shape[0]
     ident = monoid.identity(edge_vals.dtype)
     starts = row_ptr[:-1]
     ends = row_ptr[1:]
 
     if monoid.name == "PlusMonoid" and edge_vals.dtype != jnp.bool_:
-        # sum within [row_ptr[i], row_ptr[i+1]) via prefix sums
-        csum = jnp.concatenate([
-            jnp.zeros((1,), edge_vals.dtype), jnp.cumsum(edge_vals)
-        ])
-        return csum[ends] - csum[starts]
+        # sum within [row_ptr[i], row_ptr[i+1]) via prefix sums. ONE monotone
+        # boundary gather over row_ptr (starts[i] == ends[i-1], so the start
+        # fetches are the end fetches shifted by one row).
+        csum = jnp.cumsum(edge_vals)
+        bnd = jnp.where(row_ptr > 0,
+                        take(csum, jnp.maximum(row_ptr - 1, 0), sorted=True),
+                        jnp.zeros((), csum.dtype))
+        return bnd[1:] - bnd[:-1]
 
     if monoid.name == "LogicalOrMonoid":
         # or-reduce == "any nonzero in segment" == segment nonzero-count > 0
         flags = (edge_vals != 0).astype(jnp.int32)
-        csum = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(flags)])
-        out = (csum[ends] - csum[starts]) > 0
+        csum = jnp.cumsum(flags)
+        bnd = jnp.where(row_ptr > 0,
+                        take(csum, jnp.maximum(row_ptr - 1, 0), sorted=True), 0)
+        out = (bnd[1:] - bnd[:-1]) > 0
         return out if edge_vals.dtype == jnp.bool_ else out.astype(edge_vals.dtype)
 
     heads = segment_heads(row_ptr, nnz_pad)
     scanned = segmented_scan(edge_vals, heads, monoid)
     # row tail = row_ptr[i+1]-1; empty rows (ptr equal) yield identity
     tail = jnp.clip(ends - 1, 0, nnz_pad - 1)
-    out = scanned[tail]
+    out = take(scanned, tail, sorted=True)
     return jnp.where(ends > starts, out, ident)
 
 

@@ -43,11 +43,13 @@ from .spmv import mask_pass
 def frontier_degrees(ptr: jnp.ndarray, f_ind: jnp.ndarray, f_nvals) -> jnp.ndarray:
     """Row lengths of frontier vertices (reference: indirectScanKernel,
     spmspv_inner.hpp:111-119). Pad slots report degree 0."""
+    from .gather_dispatch import take
+
     cap = f_ind.shape[0]
     n = ptr.shape[0] - 1
-    fi = jnp.minimum(f_ind, n - 1)
+    fi = jnp.minimum(f_ind, n - 1)  # compacted frontier ids ascend → sorted gather
     slot_valid = jnp.arange(cap, dtype=INDEX_DTYPE) < f_nvals
-    deg = ptr[fi + 1] - ptr[fi]
+    deg = take(ptr, fi + 1, sorted=True) - take(ptr, fi, sorted=True)
     return jnp.where(slot_valid, deg, 0)
 
 
@@ -91,17 +93,17 @@ def expand_frontier(
     src_slot = jax.lax.cummax(marks)
     from .gather_dispatch import take
 
-    fi = jnp.minimum(take(f_ind, src_slot), n - 1)
-    within = e - take(offsets, src_slot)
-    edge_idx = jnp.clip(take(ptr, fi) + within, 0, ind.shape[0] - 1)
-    dst = take(ind, edge_idx)
+    fi = jnp.minimum(take(f_ind, src_slot, sorted=True), n - 1)
+    within = e - take(offsets, src_slot, sorted=True)
+    edge_idx = jnp.clip(take(ptr, fi, sorted=True) + within, 0, ind.shape[0] - 1)
+    dst = take(ind, edge_idx, sorted=True)
     valid = e < total
 
     if structure_only:
         mv = jnp.ones((edge_cap,), out_dtype)
     else:
-        a = take(mat_val, edge_idx).astype(out_dtype)
-        b = (take(f_val, src_slot).astype(out_dtype) if f_val is not None
+        a = take(mat_val, edge_idx, sorted=True).astype(out_dtype)
+        b = (take(f_val, src_slot, sorted=True).astype(out_dtype) if f_val is not None
              else jnp.ones((edge_cap,), out_dtype))
         if swap_mul:
             a, b = b, a

@@ -167,19 +167,23 @@ def dense_from_sparse(n, sind, sval, snvals, identity):
 
 
 def sparse_from_dense(dense, identity):
-    """Stream-compact non-identity entries: flag → cumsum → scatter-compact.
+    """Stream-compact non-identity entries via sort, not scatter.
 
-    Deterministic XLA re-expression of flag→mgpu::Scan→streamCompact
-    (reference: vector.hpp:367-425, kernels/util.hpp streamCompact*). Output
-    capacity = n (total), so overflow is impossible.
+    Deterministic re-expression of flag→mgpu::Scan→streamCompact (reference:
+    vector.hpp:367-425, kernels/util.hpp streamCompact*). On TPU a scatter
+    costs ~4.8 ns/lane while a single-array sort is ~10× cheaper and the
+    value fetch after it is a monotone gather (near-free in the Pallas lane
+    kernel), so compaction is: sort(where(flag, idx, n)) — valid indices
+    ascend to the front, pad slots carry the sentinel n. Output capacity = n
+    (total), so overflow is impossible.
     """
     n = dense.shape[0]
     ident = jnp.asarray(identity, dense.dtype)
     flags = dense != ident
-    pos = jnp.cumsum(flags.astype(INDEX_DTYPE)) - 1
-    tgt = jnp.where(flags, pos, n)
     arange = jnp.arange(n, dtype=INDEX_DTYPE)
-    sind = jnp.full((n,), n, dtype=INDEX_DTYPE).at[tgt].set(arange, mode="drop")
-    sval = jnp.full((n,), ident, dtype=dense.dtype).at[tgt].set(dense, mode="drop")
+    from .ops.gather_dispatch import take
+
+    sind = jax.lax.sort(jnp.where(flags, arange, n))
+    sval = jnp.where(sind < n, take(dense, jnp.minimum(sind, n - 1), sorted=True), ident)
     nv = jnp.sum(flags).astype(INDEX_DTYPE)
     return sind, sval, nv
