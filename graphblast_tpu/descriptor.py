@@ -40,7 +40,8 @@ class Descriptor:
     earlyexit: bool = False        # pull-BFS row scan may stop at first hit
     opreuse: bool = False          # pull reads the mask as the frontier
     endbit: bool = False           # sort only ceil(log2 nrows) key bits
-    sort_push: bool = True         # False = scatter-combine push (SIMPLE mode)
+    sort_push: bool = None         # False = scatter-combine push (SIMPLE mode);
+                                   # default from GRB_LOAD_BALANCE_MODE (config.py)
     fusedmask: bool = True         # fuse mask into the pull kernel
     load_balance: LoadBalanceMode = LoadBalanceMode.MERGE
 
@@ -49,10 +50,22 @@ class Descriptor:
     timing: int = 0                # 0: off, 1: per-iter CSV, 2: verbose CSV
     debug: bool = False
     dirinfo: bool = False          # announce push/pull switches
-    seed: int = 0                  # GRB_SEED equivalent (common.hpp:10-12)
+    seed: int = None               # default from GRB_SEED (common.hpp:10-12)
 
     # --- execution ---
     backend: str = "tpu"           # "tpu" (jit) | "cpu" (numpy-ish reference path)
+
+    def __post_init__(self):
+        # resolve env-var-backed defaults (config.py) once at construction so
+        # the descriptor stays a plain hashable static jit argument
+        if self.sort_push is None:
+            from .config import default_sort_push
+
+            object.__setattr__(self, "sort_push", default_sort_push())
+        if self.seed is None:
+            from .config import default_seed
+
+            object.__setattr__(self, "seed", default_seed())
 
     def replace(self, **kw) -> "Descriptor":
         return dataclasses.replace(self, **kw)

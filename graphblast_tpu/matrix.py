@@ -98,11 +98,15 @@ class Matrix:
     @staticmethod
     def from_coo(rows, cols, vals, nrows: int, ncols: int,
                  dtype=jnp.float32,
-                 fmt: SparseFormat = SparseFormat.CSRCSC,
+                 fmt: SparseFormat = None,
                  pad_to: int = TILE) -> "Matrix":
         """Build from COO triplets (reference: Matrix::build, matrix.hpp:126 →
         sparse_matrix.hpp:291-351). Input is deduplicated/sorted by the caller
         (io.mmio.canonicalize_coo) or raw; we sort defensively."""
+        if fmt is None:
+            from .config import default_sparse_format
+
+            fmt = default_sparse_format()  # GRB_SPARSE_MATRIX_FORMAT
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)

@@ -80,11 +80,24 @@ def spmv_pull(
     if structure_only and semiring.name == "LogicalOrAnd":
         # struconly BFS pull: edge contributes iff frontier bit set
         # (reference: kernels/spmv.hpp:10-59 fused-or kernel). On TPU the
-        # frontier is packed into a 32x-smaller bitmap first, shrinking the
-        # gather table (and its VMEM pass count) by 32x.
+        # frontier is packed into a 32x-smaller bitmap; the fused Pallas
+        # kernel streams col_ind once and emits the bit prefix-sum directly
+        # (ops/pallas/orpull.py), leaving only the boundary fetch here.
         from .gather_dispatch import use_pallas
 
         if use_pallas():
+            from .pallas.orpull import (orpull_available, orpull_bit_csum,
+                                        pack_bitmap)
+
+            if orpull_available(x_dense.shape[0]):
+                csum = orpull_bit_csum(pack_bitmap(x_dense), col_ind)
+                bnd = jnp.where(row_ptr > 0,
+                                take(csum, jnp.maximum(row_ptr - 1, 0),
+                                     sorted=True), 0)
+                y = ((bnd[1:] - bnd[:-1]) > 0).astype(out_dtype)
+                if mask_dense is not None:
+                    y = jnp.where(mask_pass(mask_dense, mask_scmp), y, ident)
+                return y
             edge_vals = _bitmap_gather(x_dense, col_ind).astype(out_dtype)
         else:
             edge_vals = take(x_dense, col_ind)

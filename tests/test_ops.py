@@ -229,3 +229,16 @@ def test_apply_vxm_fused_accum(chesapeake, rng):
     Ad = A.to_dense()
     ref = Ad.T @ np.asarray(x.dense) + np.asarray(w.dense)
     np.testing.assert_allclose(got.to_numpy(), ref, rtol=1e-4)
+
+
+def test_orpull_kernel_interpret(rng):
+    """Fused or-pull bit prefix-sum kernel vs numpy (interpret mode)."""
+    from graphblast_tpu.ops.pallas.orpull import orpull_bit_csum, pack_bitmap
+
+    n = 1000
+    x = (rng.random(n) < 0.3).astype(np.float32)
+    col = rng.randint(0, n, size=5000).astype(np.int32)
+    csum = orpull_bit_csum(pack_bitmap(jnp.asarray(x)), jnp.asarray(col),
+                           interpret=True)
+    want = np.cumsum(x[col] != 0).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(csum), want)
