@@ -1,0 +1,163 @@
+"""Operator/monoid/semiring catalog + container-method tier-1 tests.
+
+Reference analogs: test/gbinaryop.cu, test/gvector.cu, test/gdensevector.cu,
+test/gsparsevector.cu, test/gdescriptor.cu, test/gtrace.cu, test/gspgemm.cu
+(SURVEY.md §4 tier 1)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import graphblast_tpu as gb
+from graphblast_tpu import semiring as sr
+from graphblast_tpu import Descriptor, Direction, Storage, Vector
+
+
+# -- binary op catalog (gbinaryop.cu analog) ---------------------------------
+
+BINOP_REF = {
+    "logical_or": lambda a, b: float(bool(a) or bool(b)),
+    "logical_and": lambda a, b: float(bool(a) and bool(b)),
+    "logical_xor": lambda a, b: float(bool(a) != bool(b)),
+    "equal": lambda a, b: float(a == b),
+    "not_equal_to": lambda a, b: float(a != b),
+    "greater": lambda a, b: float(a > b),
+    "less": lambda a, b: float(a < b),
+    "greater_equal": lambda a, b: float(a >= b),
+    "less_equal": lambda a, b: float(a <= b),
+    "first": lambda a, b: a,
+    "second": lambda a, b: b,
+    "minimum": min,
+    "maximum": max,
+    "plus": lambda a, b: a + b,
+    "minus": lambda a, b: a - b,
+    "multiplies": lambda a, b: a * b,
+    "divides": lambda a, b: a / b,
+    "select_second": lambda a, b: b,
+}
+
+
+@pytest.mark.parametrize("op", sr.ALL_BINARY_OPS, ids=[o.name for o in sr.ALL_BINARY_OPS])
+def test_binary_op_catalog(op):
+    """All 17+1 binary ops match scalar semantics (stddef.hpp:14-138)."""
+    ref = BINOP_REF[op.name]
+    for a in (0.0, 1.0, 2.5, -3.0):
+        for b in (0.0, 1.0, 4.0, -1.5):
+            if op.name == "divides" and b == 0.0:
+                continue
+            got = float(op(jnp.float32(a), jnp.float32(b)))
+            assert got == pytest.approx(ref(a, b), rel=1e-6), (op.name, a, b)
+
+
+def test_monoid_identities():
+    """Monoid identities are true identities under the op (stddef.hpp:159-172;
+    the two reference quirks — Maximum identity 0, LogicalAnd identity false —
+    are preserved deliberately and excluded)."""
+    # excluded: reference quirks (Maximum identity 0, LogicalAnd identity
+    # false — stddef.hpp:162,164) and the comparison-valued "monoids"
+    # (Greater/CustomLess/NotEqualTo return {0,1}, used only as detection
+    # idioms in SSSP/CC — cc.hpp:108, sssp.hpp:68 — not true reductions)
+    strict = {"PlusMonoid", "MultipliesMonoid", "MinimumMonoid",
+              "LogicalOrMonoid"}
+    for m in sr.ALL_MONOIDS:
+        if m.name not in strict:
+            continue
+        ident = float(m.identity(jnp.float32))
+        domain = (0.0, 1.0) if m.name.startswith("Logical") else (0.0, 1.0, 7.5)
+        for v in domain:
+            assert float(m(jnp.float32(v), jnp.float32(ident))) == pytest.approx(v), m.name
+
+
+def test_semiring_catalog_complete():
+    """All 17 reference semirings present (stddef.hpp:195-213), extract
+    adapters work (217-277)."""
+    assert len(sr.ALL_SEMIRINGS) == 17
+    names = {s.name for s in sr.ALL_SEMIRINGS}
+    for want in ("LogicalOrAnd", "PlusMultiplies", "MinimumPlus",
+                 "MaximumMultiplies", "PlusDivides", "PlusGreater",
+                 "GreaterPlus", "PlusMinus", "PlusLess", "CustomLessPlus",
+                 "MinimumMultiplies", "MultipliesMultiplies", "NotEqualToPlus",
+                 "MinimumSelectSecond", "PlusNotEqualTo", "CustomLessLess",
+                 "MinimumNotEqualTo"):
+        assert want in names
+    s = sr.MinimumPlusSemiring
+    assert sr.extract_add(s) is s.add and sr.extract_mul(s) is s.mul
+
+
+# -- Vector methods (gvector/gdensevector/gsparsevector analogs) --------------
+
+def test_vector_construction_and_conversion():
+    v = Vector.sparse_from(10, [2, 5, 7], [1.0, 2.0, 3.0])
+    assert v.storage == Storage.SPARSE and int(v.nvals()) == 3
+    d = v.to_dense()
+    assert d.storage == Storage.DENSE
+    np.testing.assert_array_equal(
+        d.to_numpy(), [0, 0, 1, 0, 0, 2, 0, 3, 0, 0])
+    s = d.to_sparse()
+    ind, val = s.extract_tuples()
+    np.testing.assert_array_equal(ind, [2, 5, 7])
+    np.testing.assert_array_equal(val, [1, 2, 3])
+
+
+def test_vector_fill_ascending_count_unique():
+    v = Vector.ascending(6)
+    np.testing.assert_array_equal(v.to_numpy(), np.arange(6))
+    w = Vector.full(5, 3.0)
+    assert w.count_unique() == 1
+    assert Vector.dense_from(np.array([1., 2., 2., 3.])).count_unique() == 3
+
+
+def test_vector_set_element():
+    v = Vector.full(4, 0.0).set_element(9.0, 2)
+    np.testing.assert_array_equal(v.to_numpy(), [0, 0, 9, 0])
+    s = Vector.sparse_from(6, [1], [5.0]).set_element(7.0, 4)
+    ind, val = s.extract_tuples()
+    assert 4 in ind and 7.0 in val
+
+
+# -- Descriptor (gdescriptor.cu analog) ---------------------------------------
+
+def test_descriptor_toggle_and_hashability():
+    d = Descriptor()
+    assert not d.mask_scmp
+    d2 = d.toggle_mask()
+    assert d2.mask_scmp and not d.mask_scmp  # functional rebinding
+    assert d2.toggle_mask() == d             # double toggle == identity
+    hash(d2)                                 # static jit arg must be hashable
+    d3 = d.replace(mxv_mode=Direction.PUSHONLY, switchpoint=0.05)
+    assert d3.mxv_mode == Direction.PUSHONLY and d3.switchpoint == 0.05
+
+
+# -- trace + masked spgemm op-level (gtrace.cu / gspgemm.cu analogs) ----------
+
+def test_trace_mxm_transpose(chesapeake):
+    A = chesapeake
+    Ad = A.to_dense()
+    want = float(np.trace(Ad @ Ad.T))
+    got = float(gb.trace_mxm_transpose(A, A, gb.PlusMultipliesSemiring))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_masked_mxm_matches_dense(chesapeake):
+    A = chesapeake
+    Ad = A.to_dense()
+    C = gb.mxm(A, A, gb.PlusMultipliesSemiring, mask=A)
+    Cd = C.to_dense()
+    want = (Ad @ Ad) * (Ad != 0)
+    np.testing.assert_allclose(Cd, want, rtol=1e-4)
+
+
+# -- randomized BFS (grandbfs.cu analog) --------------------------------------
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("mode", [Direction.PUSHPULL, Direction.PUSHONLY,
+                                  Direction.PULLONLY])
+def test_random_bfs(seed, mode):
+    from graphblast_tpu.algorithms import bfs, reference
+    from graphblast_tpu.io.rmat import rmat_matrix
+    from graphblast_tpu.descriptor import BFS_TUNED
+
+    A = rmat_matrix(7, 8, seed=seed)
+    src = int(np.argmax(np.diff(np.asarray(A.row_ptr))))
+    got = bfs(A, src, desc=BFS_TUNED.replace(mxv_mode=mode)).to_numpy()
+    want = np.asarray(reference.bfs_cpu(A, src))
+    np.testing.assert_array_equal(got, want)
