@@ -90,7 +90,7 @@ def main():
     jax.block_until_ready(y)
     t0 = time.perf_counter()
     for _ in range(args.spmv_iters):
-        y = spmv(A, y * 0 + 1)
+        y = spmv(A, x)
     jax.block_until_ready(y)
     spmv_s = (time.perf_counter() - t0) / args.spmv_iters
     # bytes: col_ind + val reads + x gather + row_ptr + y write
@@ -101,7 +101,10 @@ def main():
 
     # --- PageRank iterations/s ---
     Ap = prepare_pr_matrix(A, 0.85)
-    p, it_pr, err = _pr_fused(Ap, alpha=0.85, eps=1e-8, max_niter=50)
+    # warmup MUST use identical static args — a different (eps, max_niter)
+    # pair is a different compiled program and would put compile time
+    # inside the timed region
+    p, it_pr, err = _pr_fused(Ap, alpha=0.85, eps=0.0, max_niter=50)
     jax.block_until_ready(p)
     t0 = time.perf_counter()
     p, it_pr, err = _pr_fused(Ap, alpha=0.85, eps=0.0, max_niter=50)

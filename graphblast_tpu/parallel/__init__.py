@@ -5,5 +5,5 @@ TPU framework's distributed axis. Test on CPU with
 XLA_FLAGS=--xla_force_host_platform_device_count=N."""
 
 from .partition import ShardedMatrix, partition, shard_vector
-from .algorithms import bfs_dist, pr_dist, sssp_dist, make_bfs_dist
+from .algorithms import bfs_dist, cc_dist, pr_dist, sssp_dist, make_bfs_dist
 from . import ops

@@ -258,3 +258,82 @@ def sssp_dist(A: Matrix, source: int, mesh: jax.sharding.Mesh,
         check_vma=False)
     v = jax.jit(fn)(Ash, jnp.asarray(source, INDEX_DTYPE))
     return np.asarray(v)[: Ash.n]
+
+
+# ---------------------------------------------------------------------------
+# Connected components (FastSV) — distributed
+# ---------------------------------------------------------------------------
+
+IMAX = int(np.iinfo(np.int32).max)
+
+
+def _cc_loop(Ash: ShardedMatrix, max_niter: int):
+    """Distributed FastSV inside shard_map (single-chip: algorithms/cc.py,
+    reference: cc.hpp:17-136). Pointer-chasing gathers use an all_gathered
+    parent vector; the min-hooking scatter is combined across devices with a
+    cross-device elementwise pmin — both deterministic."""
+    from ..semiring import MinimumSelectSecondSemiring
+
+    rows_per = Ash.rows_per
+    n_pad = Ash.n_pad
+    my = jax.lax.axis_index("x")
+    base = (my * rows_per).astype(INDEX_DTYPE)
+    gids = base + jnp.arange(rows_per, dtype=INDEX_DTYPE)
+    parent0 = gids.astype(jnp.int32)
+
+    def cond(st):
+        it, parent, mnp, gp, gp_t, succ = st
+        return (succ > 0) & (it <= max_niter)
+
+    def body(st):
+        it, parent, mnp, gp, gp_t, _ = st
+        parent_temp = parent
+
+        # 1) stochastic hooking: mnp_t[i] = min_{j∈A(i,:)} gp[j] — mxv pull
+        # over MY CSR row block (matches the single-chip CSR orientation on
+        # directed inputs)
+        mnp_t = dops.dist_mxv_pull(
+            Ash.csr_ptr[0], Ash.csr_ind[0],
+            Ash.csr_val[0].astype(jnp.int32), gp,
+            MinimumSelectSecondSemiring, rows_per)
+        mnp = jnp.minimum(mnp, mnp_t)
+        # min-hook parent[parent_temp] ← mnp across ALL devices: local
+        # global-index scatter-min, then elementwise cross-device min
+        contrib = (jnp.full((n_pad,), IMAX, jnp.int32)
+                   .at[parent_temp].min(mnp, mode="drop"))
+        contrib = jax.lax.pmin(contrib, "x")
+        mine = jax.lax.dynamic_slice(contrib, (base,), (rows_per,))
+        parent = jnp.minimum(parent, mine)
+
+        # 2) aggressive hooking + 3) shortcutting
+        parent = jnp.minimum(parent, mnp)
+        parent = jnp.minimum(parent, parent_temp)
+
+        # 4) grandparent gp[u] = parent[parent[u]] (global gather)
+        parent_full = jax.lax.all_gather(parent, "x", tiled=True)
+        gp = parent_full[jnp.clip(parent, 0, n_pad - 1)]
+
+        # 5) termination + 6) unproductive filter
+        diff = gp_t != gp
+        succ = jax.lax.psum(jnp.sum(diff).astype(INDEX_DTYPE), "x")
+        gp_t_new = gp
+        gp = jnp.where(diff, gp, IMAX)
+        return it + 1, parent, mnp, gp, gp_t_new, succ
+
+    st = (jnp.asarray(1, INDEX_DTYPE), parent0, parent0, parent0, parent0,
+          jnp.asarray(1, INDEX_DTYPE))
+    _, parent, *_ = jax.lax.while_loop(cond, body, st)
+    return parent
+
+
+def cc_dist(A: Matrix, mesh: jax.sharding.Mesh, desc: Descriptor = DEFAULT,
+            Ash: Optional[ShardedMatrix] = None) -> np.ndarray:
+    """Distributed connected components (fused FastSV loop)."""
+    if Ash is None:
+        Ash = partition(A, mesh)
+    fn = jax.shard_map(
+        functools.partial(_cc_loop, max_niter=desc.max_niter),
+        mesh=mesh, in_specs=(_mat_spec(),), out_specs=P_("x"),
+        check_vma=False)
+    parent = jax.jit(fn)(Ash)
+    return np.asarray(parent)[: Ash.n]

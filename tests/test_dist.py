@@ -101,3 +101,15 @@ def test_push_combiner_generic_monoid(chesapeake, mesh):
         for j in np.nonzero(Ad[i])[0]:
             want[j] = min(want[j], x[i] + Ad[i, j])
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_cc_dist_matches_single_chip(mesh):
+    """Distributed FastSV labels == single-chip labels (same min-id
+    convention) on a multi-component graph."""
+    from graphblast_tpu.algorithms import cc
+    from graphblast_tpu.parallel import cc_dist
+
+    A = gb.Matrix.from_mtx("data/small/test_cc.mtx")
+    want = cc(A).to_numpy()
+    got = cc_dist(A, mesh)
+    np.testing.assert_array_equal(got, want)
