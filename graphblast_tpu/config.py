@@ -29,18 +29,20 @@ from .types import SparseFormat
 
 
 def default_sparse_format() -> SparseFormat:
+    # accepts the reference's numeric values (0/1) and symbolic names
     name = os.environ.get("GRB_SPARSE_MATRIX_FORMAT", "CSRCSC").upper()
     return {
-        "CSRCSC": SparseFormat.CSRCSC,
-        "CSRONLY": SparseFormat.CSRONLY,
-        "CSCONLY": SparseFormat.CSCONLY,
+        "0": SparseFormat.CSRCSC, "CSRCSC": SparseFormat.CSRCSC,
+        "1": SparseFormat.CSRONLY, "CSRONLY": SparseFormat.CSRONLY,
+        "2": SparseFormat.CSCONLY, "CSCONLY": SparseFormat.CSCONLY,
     }.get(name, SparseFormat.CSRCSC)
 
 
 def default_sort_push() -> bool:
-    """MERGE/TWC → sorted push; SIMPLE → scatter-combiner push."""
+    """MERGE/TWC → sorted push; SIMPLE → scatter-combiner push.
+    Accepts the reference's numeric values: 0 SIMPLE, 1 TWC, 2 MERGE."""
     mode = os.environ.get("GRB_LOAD_BALANCE_MODE", "MERGE").upper()
-    return mode != "SIMPLE"
+    return mode not in ("SIMPLE", "0")
 
 
 def default_seed() -> int:
