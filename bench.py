@@ -75,6 +75,21 @@ def main():
     bfs_gteps = A.nvals / bfs_s / 1e9
     log(f"BFS: {bfs_s * 1e3:.2f} ms/run → {bfs_gteps:.3f} GTEPS")
 
+    # --- SSSP GTEPS (fused min-plus Bellman-Ford) ---
+    from graphblast_tpu.algorithms.sssp import _sssp_fused
+
+    sskw = dict(edge_cap=kw["edge_cap"], switchpoint=0.01,
+                mode=Direction.PUSHPULL, sort_push=True, max_niter=1000)
+    v, it_ss = _sssp_fused(A, jnp.asarray(int(sources[0]), INDEX_DTYPE), **sskw)
+    jax.block_until_ready(v)
+    t0 = time.perf_counter()
+    for s in sources:
+        v, _ = _sssp_fused(A, jnp.asarray(int(s), INDEX_DTYPE), **sskw)
+    jax.block_until_ready(v)
+    sssp_s = (time.perf_counter() - t0) / len(sources)
+    sssp_gteps = A.nvals / sssp_s / 1e9
+    log(f"SSSP: {sssp_s * 1e3:.2f} ms/run → {sssp_gteps:.3f} GTEPS")
+
     # --- pull SpMV sustained bandwidth (sort-based value kernel) ---
     from graphblast_tpu.ops.spmv import spmv_pull_sorted
 
@@ -117,6 +132,7 @@ def main():
         "value": round(bfs_gteps, 4),
         "unit": "GTEPS",
         "vs_baseline": round(bfs_gteps / 1.0, 4),
+        "sssp_gteps": round(sssp_gteps, 4),
         "spmv_gbs": round(spmv_gbs, 1),
         "spmv_gteps": round(spmv_gteps, 3),
         "pr_iters_per_s": round(pr_iters_s, 2),

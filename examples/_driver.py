@@ -50,12 +50,16 @@ def run_driver(name, description, run_fn, cpu_fn, verify_fn, extra_args=None):
     if want is not None:
         ok = verify_fn(A, got, want)
 
-    # benchmark loop — gbfs.cu:102-115
-    t0 = time.perf_counter()
-    for _ in range(args.niter):
-        got = run_fn(A, args, desc)
-    jax.block_until_ready(got)
-    tight_ms = (time.perf_counter() - t0) * 1000 / max(args.niter, 1)
+    # benchmark loop — gbfs.cu:102-115 (optionally under a profiler trace,
+    # the cudaProfilerStart/Stop analog — gbfs.cu:98,106)
+    from graphblast_tpu.utils.profiling import trace
+
+    with trace(getattr(args, "profile", None)):
+        t0 = time.perf_counter()
+        for _ in range(args.niter):
+            got = run_fn(A, args, desc)
+        jax.block_until_ready(got)
+        tight_ms = (time.perf_counter() - t0) * 1000 / max(args.niter, 1)
 
     eps = A.nvals / (tight_ms * 1e-3) if tight_ms > 0 else float("inf")
     print(f"cpu, warmup, tight, GTEPS")

@@ -63,6 +63,9 @@ def build_parser(prog: str, description: str = "") -> argparse.ArgumentParser:
                    help="shard across N devices (0 = single device)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--memory", action="store_true")
+    p.add_argument("--profile", type=str, default="",
+                   help="capture a jax.profiler trace into this directory "
+                        "(reference: cudaProfilerStart hooks, gbfs.cu:98)")
     p.add_argument("--mode", type=str, default="fused",
                    choices=["fused", "stepped"],
                    help="fused: device-resident loop; stepped: per-iter CSV")
