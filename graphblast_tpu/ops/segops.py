@@ -52,7 +52,8 @@ def segmented_scan(values: jnp.ndarray, heads: jnp.ndarray, monoid: Monoid) -> j
 
 
 def segment_reduce_csr(edge_vals: jnp.ndarray, row_ptr: jnp.ndarray,
-                       monoid: Monoid, nrows: int) -> jnp.ndarray:
+                       monoid: Monoid, nrows: int,
+                       edge_row_ids: jnp.ndarray = None) -> jnp.ndarray:
     """Per-row reduction of edge values laid out in CSR order.
 
     Returns (nrows,) with `monoid.identity` for empty rows — matching "no
@@ -88,7 +89,13 @@ def segment_reduce_csr(edge_vals: jnp.ndarray, row_ptr: jnp.ndarray,
         out = (bnd[1:] - bnd[:-1]) > 0
         return out if edge_vals.dtype == jnp.bool_ else out.astype(edge_vals.dtype)
 
-    heads = segment_heads(row_ptr, nnz_pad)
+    if edge_row_ids is not None:
+        # scan-free heads: one elementwise pass over the expanded row ids
+        # (vs a scatter into an nnz-sized flag array)
+        heads = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 edge_row_ids[1:] != edge_row_ids[:-1]])
+    else:
+        heads = segment_heads(row_ptr, nnz_pad)
     scanned = segmented_scan(edge_vals, heads, monoid)
     # row tail = row_ptr[i+1]-1; empty rows (ptr equal) yield identity
     tail = jnp.clip(ends - 1, 0, nnz_pad - 1)

@@ -163,7 +163,7 @@ def spmv_pull_sorted(
     valid = jnp.arange(m, dtype=sort_key_src.dtype) < nvals
     key = jnp.where(valid, sort_key_src, n_out)
     k2, p2 = jax.lax.sort((key, jnp.where(valid, prod, ident)), num_keys=1)
-    y = segment_reduce_csr(p2, out_ptr, semiring.add, n_out)
+    y = segment_reduce_csr(p2, out_ptr, semiring.add, n_out, edge_row_ids=k2)
     y = y.astype(out_dtype) if y.dtype != out_dtype else y
     if mask_dense is not None:
         y = jnp.where(mask_pass(mask_dense, mask_scmp), y, ident)

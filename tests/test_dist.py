@@ -113,3 +113,17 @@ def test_cc_dist_matches_single_chip(mesh):
     want = cc(A).to_numpy()
     got = cc_dist(A, mesh)
     np.testing.assert_array_equal(got, want)
+
+
+def test_partition_cache_roundtrip(tmp_path, chesapeake, mesh):
+    from graphblast_tpu.parallel.partition import partition_cached, shard_cache_path
+
+    base = str(tmp_path / "chesapeake.mtx")
+    A = chesapeake
+    Ash1 = partition_cached(A, mesh, base)
+    import os
+    assert os.path.exists(shard_cache_path(base, 8))
+    Ash2 = partition_cached(A, mesh, base)  # loads from cache
+    np.testing.assert_array_equal(np.asarray(Ash1.csr_ind), np.asarray(Ash2.csr_ind))
+    np.testing.assert_array_equal(np.asarray(Ash1.csc_ptr), np.asarray(Ash2.csc_ptr))
+    assert Ash2.n == A.nrows and Ash2.P == 8
