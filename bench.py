@@ -31,6 +31,19 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compilation cache: the fused while-loop programs take
+    # minutes to compile at scale 18; caching makes reruns (and the driver's
+    # benchmark invocation) start in seconds
+    import os as _os
+    cache_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                              ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from graphblast_tpu.algorithms.bfs import _bfs_fused

@@ -183,6 +183,58 @@ class Matrix:
         return Matrix.from_coo(rows, cols, dense[rows, cols], *dense.shape,
                                dtype=dense.dtype, fmt=fmt)
 
+    # -- reference API-shape methods (matrix.hpp:13-251) ----------------------
+    def dup(self) -> "Matrix":
+        """dup() (reference: matrix.hpp:96-105). Arrays are immutable so a
+        duplicate is the same pytree — O(1), semantically a deep copy."""
+        return dataclasses.replace(self)
+
+    def clear(self) -> "Matrix":
+        """clear() (reference: matrix.hpp:107-112): empty matrix of the same
+        shape/dtype/capacity."""
+        z_idx = jnp.zeros_like(self.col_ind) if self.col_ind is not None else None
+        sent = (jnp.full_like(self.row_ind, self.nrows)
+                if self.row_ind is not None else None)
+        return Matrix(
+            self.nrows, self.ncols, 0,
+            row_ptr=jnp.zeros_like(self.row_ptr) if self.row_ptr is not None else None,
+            col_ind=z_idx, row_ind=sent,
+            val=jnp.zeros_like(self.val) if self.val is not None else None,
+            col_ptr=jnp.zeros_like(self.col_ptr) if self.col_ptr is not None else None,
+            csc_row_ind=jnp.zeros_like(self.csc_row_ind) if self.csc_row_ind is not None else None,
+            csc_col_ind=(jnp.full_like(self.csc_col_ind, self.ncols)
+                         if self.csc_col_ind is not None else None),
+            csc_val=jnp.zeros_like(self.csc_val) if self.csc_val is not None else None,
+            format=self.format, symmetric=False)
+
+    def fill(self, value) -> "Matrix":
+        """fill() (reference: matrix.hpp:232-238): set every STORED value."""
+        return dataclasses.replace(
+            self,
+            val=jnp.full_like(self.val, value) if self.val is not None else None,
+            csc_val=(jnp.full_like(self.csc_val, value)
+                     if self.csc_val is not None else None))
+
+    def set_storage(self, fmt: SparseFormat) -> "Matrix":
+        """setStorage analog (reference: matrix.hpp:150-156): narrow to one
+        representation (dropping the other's arrays) or keep both."""
+        if fmt == self.format:
+            return self
+        if fmt == SparseFormat.CSRONLY:
+            return dataclasses.replace(self, col_ptr=None, csc_row_ind=None,
+                                       csc_col_ind=None, csc_val=None, format=fmt)
+        if fmt == SparseFormat.CSCONLY:
+            return dataclasses.replace(self, row_ptr=None, col_ind=None,
+                                       row_ind=None, val=None, format=fmt)
+        if self.symmetric and self.has_csr():
+            return dataclasses.replace(
+                self, col_ptr=self.row_ptr, csc_row_ind=self.col_ind,
+                csc_col_ind=self.row_ind, csc_val=self.val, format=fmt)
+        # widening a one-sided asymmetric matrix requires a host rebuild
+        r, c, v = self.extract_tuples()
+        return Matrix.from_coo(r, c, v, self.nrows, self.ncols,
+                               dtype=self.dtype, fmt=fmt)
+
     # -- extraction (host side) ----------------------------------------------
     def extract_tuples(self):
         """(rows, cols, vals) of stored entries (reference: matrix.hpp:171-194)."""

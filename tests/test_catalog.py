@@ -161,3 +161,43 @@ def test_random_bfs(seed, mode):
     got = bfs(A, src, desc=BFS_TUNED.replace(mxv_mode=mode)).to_numpy()
     want = np.asarray(reference.bfs_cpu(A, src))
     np.testing.assert_array_equal(got, want)
+
+
+# -- Matrix API-shape methods (matrix.hpp:96-238 analogs) ---------------------
+
+def test_matrix_dup_clear_fill(chesapeake):
+    A = chesapeake
+    B = A.dup()
+    np.testing.assert_array_equal(B.to_dense(), A.to_dense())
+    C = A.clear()
+    assert C.nvals == 0 and C.shape == A.shape
+    np.testing.assert_array_equal(C.to_dense(), np.zeros(A.shape, A.dtype))
+    F = A.fill(2.5)
+    d = F.to_dense()
+    assert set(np.unique(d)) <= {0.0, 2.5}
+    assert F.nvals == A.nvals
+
+
+def test_matrix_set_storage(chesapeake):
+    from graphblast_tpu.types import SparseFormat
+
+    A = chesapeake
+    R = A.set_storage(SparseFormat.CSRONLY)
+    assert R.col_ptr is None and R.has_csr()
+    W = R.set_storage(SparseFormat.CSRCSC)
+    np.testing.assert_array_equal(W.to_dense(), A.to_dense())
+
+
+def test_reduce_matrix_to_vector_and_scale(chesapeake):
+    """gpr prep chain (example/gpr.cu:82-90): outdegrees + row scaling."""
+    A = chesapeake
+    Ad = A.to_dense()
+    outdeg = gb.reduce_matrix_to_vector(A, sr.PlusMonoid)
+    np.testing.assert_allclose(outdeg.to_numpy(), Ad.sum(axis=1), rtol=1e-6)
+    from graphblast_tpu.operations import scale_matrix_rows, eWiseMult_matrix_scalar
+    S = eWiseMult_matrix_scalar(A, sr.Multiplies, 0.5)
+    np.testing.assert_allclose(S.to_dense(), Ad * 0.5, rtol=1e-6)
+    D = scale_matrix_rows(S, outdeg, gb.PlusDividesSemiring)
+    want = np.divide(Ad * 0.5, Ad.sum(axis=1)[:, None],
+                     out=np.zeros_like(Ad), where=Ad.sum(axis=1)[:, None] != 0)
+    np.testing.assert_allclose(D.to_dense(), want, rtol=1e-5)
