@@ -63,6 +63,7 @@ from .operations import (
     eWiseMult,
     extract_gather,
     mxm,
+    mxm_dense,
     mxv,
     reduce_matrix,
     reduce_matrix_to_vector,

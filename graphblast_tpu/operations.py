@@ -138,6 +138,27 @@ def mxm(A: Matrix, B: Matrix, semiring: Semiring,
     return spgemm.spgemm(A, B, semiring, transpose_b=desc.transpose_inp1)
 
 
+def mxm_dense(A: Matrix, B, semiring: Semiring,
+              desc: Descriptor = DEFAULT):
+    """C = A ⊕.⊗ B with dense B (n, k) → dense (nrows, k) ndarray.
+
+    The reference declares spmm and never implements it
+    (backend/cuda/spmm.hpp:16-40); on TPU the dense RHS removes every lane
+    gather from the op, so it is provided as a first-class extension."""
+    import jax.numpy as jnp
+
+    from .ops.spmm import spmm
+
+    B = jnp.asarray(B)
+    _check(B.ndim == 2 and B.shape[0] == A.ncols,
+           f"dim mismatch: B {B.shape} vs A.ncols={A.ncols}")
+    if desc.transpose_inp0:
+        return spmm(A.col_ptr, A.csc_row_ind, A.csc_val, B, semiring,
+                    A.ncols, row_ind=A.csc_col_ind)
+    return spmm(A.row_ptr, A.col_ind, A.val, B, semiring, A.nrows,
+                row_ind=A.row_ind)
+
+
 # ---------------------------------------------------------------------------
 # eWiseMult / eWiseAdd (reference: operations.hpp:137-353)
 # ---------------------------------------------------------------------------

@@ -242,3 +242,22 @@ def test_orpull_kernel_interpret(rng):
                            interpret=True)
     want = np.cumsum(x[col] != 0).astype(np.int32)
     np.testing.assert_array_equal(np.asarray(csum), want)
+
+
+def test_mxm_dense_spmm(chesapeake, rng):
+    """spmm vs dense reference for Plus and Minimum monoids (the reference
+    stubs this — backend/cuda/spmm.hpp:16-40)."""
+    A = chesapeake
+    Ad = A.to_dense()
+    B = rng.random((A.ncols, 8)).astype(np.float32)
+    C = gb.mxm_dense(A, B, gb.PlusMultipliesSemiring)
+    np.testing.assert_allclose(np.asarray(C), Ad @ B, rtol=1e-4)
+
+    # min-plus over stored entries only
+    C2 = np.asarray(gb.mxm_dense(A, B, gb.MinimumPlusSemiring))
+    want = np.full_like(C2, MAXF)
+    for i in range(A.nrows):
+        for j in range(A.ncols):
+            if Ad[i, j] != 0:
+                want[i] = np.minimum(want[i], Ad[i, j] + B[j])
+    np.testing.assert_allclose(C2, want, rtol=1e-4)
