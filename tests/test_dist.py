@@ -127,3 +127,29 @@ def test_partition_cache_roundtrip(tmp_path, chesapeake, mesh):
     np.testing.assert_array_equal(np.asarray(Ash1.csr_ind), np.asarray(Ash2.csr_ind))
     np.testing.assert_array_equal(np.asarray(Ash1.csc_ptr), np.asarray(Ash2.csc_ptr))
     assert Ash2.n == A.nrows and Ash2.P == 8
+
+
+def test_2d_partition_mxv(chesapeake):
+    """2D SUMMA-style pull matvec == single-device over a 4x2 mesh
+    (SURVEY.md §7 hard part (d): 2D option for push-volume skew)."""
+    from graphblast_tpu.parallel.partition2d import partition_2d, mxv_2d
+    from graphblast_tpu.semiring import (PlusMultipliesSemiring,
+                                         MinimumPlusSemiring)
+
+    A = chesapeake
+    mesh2 = jax.make_mesh((4, 2), ("r", "c"))
+    Ash = partition_2d(A, mesh2)
+    rng = np.random.default_rng(0)
+    x = rng.random(A.ncols).astype(np.float32)
+    got = mxv_2d(Ash, mesh2, x, PlusMultipliesSemiring)
+    np.testing.assert_allclose(got, A.to_dense() @ x, rtol=1e-4)
+
+    # min-plus over stored entries
+    got2 = mxv_2d(Ash, mesh2, x, MinimumPlusSemiring)
+    Ad = A.to_dense()
+    want = np.full(A.nrows, np.float32(np.finfo(np.float32).max))
+    for i in range(A.nrows):
+        for j in range(A.ncols):
+            if Ad[i, j] != 0:
+                want[i] = min(want[i], Ad[i, j] + x[j])
+    np.testing.assert_allclose(got2, want, rtol=1e-4)
