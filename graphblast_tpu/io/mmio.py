@@ -111,8 +111,17 @@ def canonicalize_coo(rows, cols, vals, *, undirected: bool, remove_self_loops: b
 
     Mirrors removeSelfloop+customSort (reference: util.hpp:263-329, 170-195):
     doubling appends (c, r) for every off-diagonal (r, c); duplicates keep the
-    first occurrence in (col, row) order.
+    first occurrence in (col, row) order. Large inputs route through the
+    native O(m+n) radix runtime (native/graphio.cpp gb_canonicalize).
     """
+    if len(rows) >= (1 << 20):
+        from ..native import canonicalize_native
+
+        out = canonicalize_native(rows, cols, vals, undirected,
+                                  remove_self_loops)
+        if out is not None:
+            r, c, v = out
+            return r, c, v.astype(np.asarray(vals).dtype, copy=False)
     if undirected:
         off_diag = rows != cols
         new_rows = np.concatenate([rows, cols[off_diag]])
@@ -134,8 +143,18 @@ def canonicalize_coo(rows, cols, vals, *, undirected: bool, remove_self_loops: b
     return rows[keep], cols[keep], vals[keep]
 
 
-def coo_to_csr(rows, cols, vals, nrows):
-    """COO -> CSR (reference: util.hpp:501-559 coo2csr). Input need not be sorted."""
+def coo_to_csr(rows, cols, vals, nrows, ncols=None):
+    """COO -> CSR (reference: util.hpp:501-559 coo2csr). Input need not be
+    sorted. Large inputs route through the native O(m+n) radix runtime."""
+    if len(rows) >= (1 << 20):
+        from ..native import coo_to_csr_native
+
+        ncols_eff = ncols if ncols is not None else (
+            int(cols.max()) + 1 if len(cols) else 0)
+        out = coo_to_csr_native(rows, cols, vals, nrows, max(ncols_eff, 1))
+        if out is not None:
+            ptr, c, v = out
+            return ptr, c, v.astype(np.asarray(vals).dtype, copy=False)
     order = np.lexsort((cols, rows))
     rows, cols, vals = rows[order], cols[order], vals[order]
     row_ptr = np.zeros(nrows + 1, dtype=np.int64)

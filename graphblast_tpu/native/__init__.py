@@ -65,6 +65,10 @@ def get_lib():
             ctypes.POINTER(_i64p), ctypes.POINTER(_i64p), ctypes.POINTER(_f64p)]
         lib.gb_free.restype = None
         lib.gb_free.argtypes = [ctypes.c_void_p]
+        lib.gb_coo_to_csr.restype = ctypes.c_int
+        lib.gb_coo_to_csr.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _i64p, _i64p, _f64p, _i64p, _i64p, _f64p]
         _lib = lib
         return _lib
 
@@ -122,3 +126,26 @@ def canonicalize_native(rows, cols, vals, undirected: bool,
     c = _steal(lib, cp, n, np.int64, ctypes.c_int64)
     v = _steal(lib, vp, n, np.float64, ctypes.c_double)
     return r, c, v
+
+
+def coo_to_csr_native(rows, cols, vals, nrows: int, ncols: int):
+    """Native O(m+n) radix coo2csr (reference: util.hpp:501-559). Returns
+    (row_ptr, cols, vals) float64 values, or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals64 = np.ascontiguousarray(vals, np.float64)
+    m = len(rows)
+    row_ptr = np.zeros(nrows + 1, np.int64)
+    cols_out = np.empty(m, np.int64)
+    vals_out = np.empty(m, np.float64)
+    rc = lib.gb_coo_to_csr(
+        m, nrows, ncols,
+        rows.ctypes.data_as(_i64p), cols.ctypes.data_as(_i64p),
+        vals64.ctypes.data_as(_f64p), row_ptr.ctypes.data_as(_i64p),
+        cols_out.ctypes.data_as(_i64p), vals_out.ctypes.data_as(_f64p))
+    if rc != 0:
+        return None
+    return row_ptr, cols_out, vals_out

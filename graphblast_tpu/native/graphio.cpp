@@ -24,23 +24,32 @@ struct Coo {
   std::vector<double> vals;
 };
 
-// column-major order: primary key col, secondary row (reference customSort)
-void sort_col_major(Coo& c) {
+// One stable counting-sort pass of the COO by `keys` (O(m + range)).
+void counting_pass(Coo& c, const std::vector<int64_t>& keys, int64_t range) {
   const size_t n = c.rows.size();
-  std::vector<size_t> perm(n);
-  for (size_t i = 0; i < n; ++i) perm[i] = i;
-  std::stable_sort(perm.begin(), perm.end(), [&](size_t a, size_t b) {
-    if (c.cols[a] != c.cols[b]) return c.cols[a] < c.cols[b];
-    return c.rows[a] < c.rows[b];
-  });
+  std::vector<int64_t> cnt(static_cast<size_t>(range) + 1, 0);
+  for (size_t i = 0; i < n; ++i) cnt[keys[i] + 1]++;
+  for (int64_t k = 0; k < range; ++k) cnt[k + 1] += cnt[k];
   Coo out;
-  out.rows.reserve(n); out.cols.reserve(n); out.vals.reserve(n);
+  out.rows.resize(n); out.cols.resize(n); out.vals.resize(n);
   for (size_t i = 0; i < n; ++i) {
-    out.rows.push_back(c.rows[perm[i]]);
-    out.cols.push_back(c.cols[perm[i]]);
-    out.vals.push_back(c.vals[perm[i]]);
+    int64_t p = cnt[keys[i]]++;
+    out.rows[p] = c.rows[i];
+    out.cols[p] = c.cols[i];
+    out.vals[p] = c.vals[i];
   }
   c = std::move(out);
+}
+
+// column-major order: primary key col, secondary row (reference customSort),
+// as a two-pass stable radix — O(m + n) instead of comparison sort
+void sort_col_major(Coo& c) {
+  int64_t maxid = 0;
+  for (size_t i = 0; i < c.rows.size(); ++i)
+    maxid = std::max(maxid, std::max(c.rows[i], c.cols[i]));
+  std::vector<int64_t> keys = c.rows;
+  counting_pass(c, keys, maxid + 1);      // secondary: row
+  counting_pass(c, c.cols, maxid + 1);    // primary: col (stable)
 }
 
 // symmetric doubling + self-loop removal + dedup (reference semantics:
@@ -76,6 +85,44 @@ void canonicalize(Coo& c, bool undirected, bool remove_self_loops) {
 }  // namespace
 
 extern "C" {
+
+// COO -> CSR in O(m + n) via two counting-sort passes (stable radix on
+// (row, col)) — reference: util.hpp:501-559 coo2csr, replacing the NumPy
+// lexsort (O(m log m) comparison sort) for large builds.
+// Caller allocates row_ptr_out (nrows+1), cols_out (m), vals_out (m).
+int gb_coo_to_csr(int64_t m, int64_t nrows, int64_t ncols,
+                  const int64_t* rows, const int64_t* cols,
+                  const double* vals,
+                  int64_t* row_ptr_out, int64_t* cols_out, double* vals_out) {
+  if (m < 0 || nrows < 0 || ncols < 0) return 1;
+  // pass 1: stable counting sort by col
+  std::vector<int64_t> cnt(static_cast<size_t>(ncols) + 1, 0);
+  for (int64_t e = 0; e < m; ++e) {
+    if (cols[e] < 0 || cols[e] >= ncols || rows[e] < 0 || rows[e] >= nrows)
+      return 2;
+    cnt[cols[e] + 1]++;
+  }
+  for (int64_t c = 0; c < ncols; ++c) cnt[c + 1] += cnt[c];
+  std::vector<int64_t> r1(m), c1(m);
+  std::vector<double> v1(m);
+  for (int64_t e = 0; e < m; ++e) {
+    int64_t p = cnt[cols[e]]++;
+    r1[p] = rows[e];
+    c1[p] = cols[e];
+    v1[p] = vals[e];
+  }
+  // pass 2: stable counting sort by row (preserves col order within rows)
+  std::memset(row_ptr_out, 0, sizeof(int64_t) * (nrows + 1));
+  for (int64_t e = 0; e < m; ++e) row_ptr_out[r1[e] + 1]++;
+  for (int64_t r = 0; r < nrows; ++r) row_ptr_out[r + 1] += row_ptr_out[r];
+  std::vector<int64_t> pos(row_ptr_out, row_ptr_out + nrows);
+  for (int64_t e = 0; e < m; ++e) {
+    int64_t p = pos[r1[e]]++;
+    cols_out[p] = c1[e];
+    vals_out[p] = v1[e];
+  }
+  return 0;
+}
 
 // Parse + canonicalize a MatrixMarket coordinate file.
 // directed: 0 honor banner, 1 force directed, 2 force undirected

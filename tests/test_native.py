@@ -72,3 +72,24 @@ def test_canonicalize_matches_python(rng):
         np.testing.assert_array_equal(got[0], want[0])
         np.testing.assert_array_equal(got[1], want[1])
         np.testing.assert_allclose(got[2], want[2])
+
+
+def test_native_coo_to_csr_matches_numpy():
+    from graphblast_tpu.native import coo_to_csr_native
+
+    rng = np.random.RandomState(0)
+    m, n = 5000, 300
+    rows = rng.randint(0, n, m).astype(np.int64)
+    cols = rng.randint(0, n, m).astype(np.int64)
+    vals = rng.rand(m)
+    out = coo_to_csr_native(rows, cols, vals, n, n)
+    if out is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    ptr, c, v = out
+    order = np.lexsort((cols, rows))
+    want_ptr = np.zeros(n + 1, np.int64)
+    np.add.at(want_ptr, rows + 1, 1)
+    np.testing.assert_array_equal(ptr, np.cumsum(want_ptr))
+    np.testing.assert_array_equal(c, cols[order])
+    np.testing.assert_allclose(v, vals[order])
