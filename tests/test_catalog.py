@@ -201,3 +201,44 @@ def test_reduce_matrix_to_vector_and_scale(chesapeake):
     want = np.divide(Ad * 0.5, Ad.sum(axis=1)[:, None],
                      out=np.zeros_like(Ad), where=Ad.sum(axis=1)[:, None] != 0)
     np.testing.assert_allclose(D.to_dense(), want, rtol=1e-5)
+
+
+# -- randomized algorithm sweeps (grandbfs.cu pattern, widened) ---------------
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_random_sssp(seed):
+    from graphblast_tpu.algorithms import sssp, reference
+    from graphblast_tpu.io.rmat import rmat_matrix
+
+    A = rmat_matrix(7, 8, seed=seed)
+    src = int(np.argmax(np.diff(np.asarray(A.row_ptr))))
+    got = sssp(A, src).to_numpy()
+    want = np.asarray(reference.sssp_cpu(A, src))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_random_pr(seed):
+    from graphblast_tpu.algorithms import pr, reference
+    from graphblast_tpu.io.rmat import rmat_matrix
+
+    A = rmat_matrix(7, 8, seed=seed)
+    got = pr(A).to_numpy()
+    want = np.asarray(reference.pr_cpu(A))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_random_cc_mis_gc_properties(seed):
+    """Property verifiers on random graphs (reference: test_cc.hpp:58-95
+    SimpleVerifyCc; SimpleVerifyMis / SimpleVerifyGc)."""
+    from graphblast_tpu.algorithms import (cc, mis, gc, verify_cc, verify_mis,
+                                           verify_gc)
+    from graphblast_tpu.io.rmat import rmat_matrix
+
+    A = rmat_matrix(7, 8, seed=seed)
+    assert verify_cc(A, cc(A).to_numpy())
+    assert verify_mis(A, mis(A, seed=seed).to_numpy())
+    for algo in ("is", "jp", "mis"):
+        colors = gc(A, seed=seed, algo=algo).to_numpy()
+        assert verify_gc(A, colors), algo
