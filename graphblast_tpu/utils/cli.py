@@ -58,6 +58,17 @@ def build_parser(prog: str, description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=0.85)
     p.add_argument("--eps", type=float, default=1e-6)
     # system params (util.hpp:122-132)
+    p.add_argument("--ta", type=int, default=0,
+                   help="(accepted; reference mxm thread knob — XLA tiles)")
+    p.add_argument("--tb", type=int, default=0,
+                   help="(accepted; reference mxm thread knob — XLA tiles)")
+    p.add_argument("--split", type=int, default=0,
+                   help="(accepted; reference sort-workspace reuse knob)")
+    p.add_argument("--fixedrow", type=int, default=0,
+                   help="(accepted; reference test-harness knob)")
+    p.add_argument("--ccalgo", type=str, default="fastsv", choices=["fastsv"],
+                   help="connected-components algorithm (reference also "
+                        "supports only the FastSV family)")
     p.add_argument("--nthread", type=int, default=0, help="(accepted; XLA manages threads)")
     p.add_argument("--ndevice", type=int, default=0,
                    help="shard across N devices (0 = single device)")
