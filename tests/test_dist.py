@@ -153,3 +153,25 @@ def test_2d_partition_mxv(chesapeake):
             if Ad[i, j] != 0:
                 want[i] = min(want[i], Ad[i, j] + x[j])
     np.testing.assert_allclose(got2, want, rtol=1e-4)
+
+
+def test_ring_mxv_matches_dense(chesapeake, mesh):
+    """Ring-pipelined pull (ppermute stages) == dense reference."""
+    from graphblast_tpu.parallel.ring import mxv_ring
+    from graphblast_tpu.semiring import (PlusMultipliesSemiring,
+                                         MinimumPlusSemiring)
+
+    A = chesapeake
+    rng = np.random.default_rng(1)
+    x = rng.random(A.ncols).astype(np.float32)
+    got = mxv_ring(A, mesh, x, PlusMultipliesSemiring)
+    np.testing.assert_allclose(got, A.to_dense() @ x, rtol=1e-4)
+
+    got2 = mxv_ring(A, mesh, x, MinimumPlusSemiring)
+    Ad = A.to_dense()
+    want = np.full(A.nrows, np.float32(np.finfo(np.float32).max))
+    for i in range(A.nrows):
+        for j in range(A.ncols):
+            if Ad[i, j] != 0:
+                want[i] = min(want[i], Ad[i, j] + x[j])
+    np.testing.assert_allclose(got2, want, rtol=1e-4)
