@@ -33,16 +33,19 @@ def main():
     import jax
 
     # persistent compilation cache: the fused while-loop programs take
-    # minutes to compile at scale 18; caching makes reruns (and the driver's
-    # benchmark invocation) start in seconds
+    # minutes to compile at scale 18; caching makes reruns start in seconds.
+    # Off by default: the axon-tunneled backend has been observed to wedge
+    # when executable serialization is enabled (set GRB_BENCH_CACHE=1 on
+    # direct-attached TPUs).
     import os as _os
-    cache_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                              ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    if _os.environ.get("GRB_BENCH_CACHE", "0") == "1":
+        cache_dir = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), ".jax_cache")
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        except Exception:
+            pass
 
     import jax.numpy as jnp
 
