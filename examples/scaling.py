@@ -15,13 +15,18 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-if "--tpu" not in sys.argv:
-    # default to an 8-way virtual CPU mesh; --tpu uses the attached devices
-    flags = os.environ.get("XLA_FLAGS", "")
+if "--tpu" not in sys.argv and os.environ.get("_GB_SCALING_REEXEC") != "1":
+    # default to an 8-way virtual CPU mesh; --tpu uses the attached devices.
+    # The environment must be set before the interpreter starts (this image's
+    # sitecustomize pre-imports jax), so re-exec with it.
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
+        env["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
-    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["_GB_SCALING_REEXEC"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
 def main():
