@@ -3,34 +3,129 @@
 
 Primary metric: direction-optimized BFS GTEPS (traversed edges/s, Graph500
 convention: graph edge count / end-to-end BFS time) on an RMAT graph, run on
-the real TPU chip. Secondary metrics (best-effort under the deadline): SSSP
-GTEPS, sustained pull-SpMV bandwidth, PageRank iterations/s. vs_baseline is
-the BFS GTEPS ratio against a 1.0-GTEPS reference-class GPU figure (the
-GraphBLAST paper's hardware era; its repo publishes no numbers — BASELINE.md).
+the real TPU chip. Secondary metrics (best-effort): SSSP GTEPS, sustained
+pull-SpMV bandwidth, PageRank iterations/s. vs_baseline is the BFS GTEPS
+ratio against a 1.0-GTEPS reference-class GPU figure (the GraphBLAST paper's
+hardware era; its repo publishes no numbers — BASELINE.md).
 
-Deadline behavior: remote XLA compiles through the tunneled TPU have been
-observed to take tens of minutes under load. Each secondary stage is skipped
-once GRB_BENCH_DEADLINE seconds (default 1200) have elapsed, so the JSON
-line is always emitted with whatever completed.
+Process isolation: the tunneled TPU backend reliably serves a process's
+FIRST large XLA compile and has been observed to wedge on subsequent ones,
+so each stage runs in its own subprocess with a timeout; the parent merges
+whatever succeeded and always emits the JSON line.
 
-Usage: python bench.py [--scale N] [--edgefactor N] [--json-only]
+Usage: python bench.py [--scale N] [--edgefactor N] [--stage bfs|sssp|spmv|pr]
 """
 from __future__ import annotations
 
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-START = time.perf_counter()
-DEADLINE = float(os.environ.get("GRB_BENCH_DEADLINE", "1200"))
+STAGE_TIMEOUT = float(os.environ.get("GRB_BENCH_STAGE_TIMEOUT", "900"))
 
 
-def over_deadline() -> bool:
-    return time.perf_counter() - START > DEADLINE
+def run_stage(args, stage: str):
+    """One metric in this process; prints a partial JSON dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphblast_tpu.io.rmat import rmat_matrix
+    from graphblast_tpu.semiring import PlusMultipliesSemiring
+    from graphblast_tpu.types import Direction, INDEX_DTYPE
+
+    def log(*a):
+        print(*a, file=sys.stderr, flush=True)
+
+    dev = jax.devices()[0]
+    t0 = time.perf_counter()
+    A = rmat_matrix(args.scale, args.edgefactor, seed=42)
+    log(f"[{stage}] rmat{args.scale}: n={A.nrows} nnz={A.nvals} "
+        f"({time.perf_counter() - t0:.1f}s) on {dev.device_kind}")
+    deg = np.diff(np.asarray(A.row_ptr))
+    sources = np.argsort(deg)[::-1][: args.sources].astype(np.int32)
+    out = {"device": dev.device_kind, "n": A.nrows, "nnz": A.nvals}
+
+    if stage == "bfs":
+        from graphblast_tpu.algorithms.bfs import _bfs_fused
+
+        kw = dict(struconly=True,
+                  edge_cap=min(A.nnz_pad,
+                               max(1024, int(A.nnz_pad * 0.5) // 1024 * 1024)),
+                  switchpoint=0.01, mode=Direction.PUSHPULL, sort_push=True,
+                  max_niter=1000)
+        v, iters = _bfs_fused(A, jnp.asarray(int(sources[0]), INDEX_DTYPE), **kw)
+        jax.block_until_ready(v)
+        log(f"[bfs] compiled; iters={int(iters)} "
+            f"reached={int((np.asarray(v) != 0).sum())}")
+        t0 = time.perf_counter()
+        for s in sources:
+            v, _ = _bfs_fused(A, jnp.asarray(int(s), INDEX_DTYPE), **kw)
+        jax.block_until_ready(v)
+        bfs_s = (time.perf_counter() - t0) / len(sources)
+        out["bfs_gteps"] = round(A.nvals / bfs_s / 1e9, 4)
+        log(f"[bfs] {bfs_s * 1e3:.2f} ms/run → {out['bfs_gteps']} GTEPS")
+
+    elif stage == "sssp":
+        from graphblast_tpu.algorithms.sssp import _sssp_fused
+
+        # a single intermediate tier keeps the SSSP program small enough
+        # for the remote compiler (3 sort instantiations instead of 4)
+        kw = dict(edge_cap=min(A.nnz_pad,
+                               max(1024, int(A.nnz_pad * 0.5) // 1024 * 1024)),
+                  switchpoint=0.01, mode=Direction.PUSHPULL, sort_push=True,
+                  tiers=(8,), max_niter=1000)
+        v, _ = _sssp_fused(A, jnp.asarray(int(sources[0]), INDEX_DTYPE), **kw)
+        jax.block_until_ready(v)
+        t0 = time.perf_counter()
+        for s in sources:
+            v, _ = _sssp_fused(A, jnp.asarray(int(s), INDEX_DTYPE), **kw)
+        jax.block_until_ready(v)
+        sssp_s = (time.perf_counter() - t0) / len(sources)
+        out["sssp_gteps"] = round(A.nvals / sssp_s / 1e9, 4)
+        log(f"[sssp] {sssp_s * 1e3:.2f} ms/run → {out['sssp_gteps']} GTEPS")
+
+    elif stage == "spmv":
+        from graphblast_tpu.ops.spmv import spmv_pull_sorted
+
+        x = jnp.ones((A.ncols,), jnp.float32)
+
+        @jax.jit
+        def spmv(A, x):
+            return spmv_pull_sorted(A.row_ptr, A.csc_col_ind, A.csc_row_ind,
+                                    A.csc_val, x, PlusMultipliesSemiring,
+                                    A.nrows, A.nvals)
+
+        y = spmv(A, x)
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        for _ in range(args.spmv_iters):
+            y = spmv(A, x)
+        jax.block_until_ready(y)
+        spmv_s = (time.perf_counter() - t0) / args.spmv_iters
+        bytes_moved = A.nnz_pad * (4 + 4 + 4) + A.nrows * 8
+        out["spmv_gbs"] = round(bytes_moved / spmv_s / 1e9, 1)
+        out["spmv_gteps"] = round(A.nvals / spmv_s / 1e9, 3)
+        log(f"[spmv] {spmv_s * 1e3:.2f} ms → {out['spmv_gbs']} GB/s")
+
+    elif stage == "pr":
+        from graphblast_tpu.algorithms.pr import _pr_fused, prepare_pr_matrix
+
+        Ap = prepare_pr_matrix(A, 0.85)
+        # warmup MUST use identical static args (recompile otherwise)
+        p, _, _ = _pr_fused(Ap, alpha=0.85, eps=0.0, max_niter=50)
+        jax.block_until_ready(p)
+        t0 = time.perf_counter()
+        p, _, _ = _pr_fused(Ap, alpha=0.85, eps=0.0, max_niter=50)
+        jax.block_until_ready(p)
+        out["pr_iters_per_s"] = round(50 / (time.perf_counter() - t0), 2)
+        log(f"[pr] {out['pr_iters_per_s']} iters/s")
+
+    print(json.dumps(out))
 
 
 def main():
@@ -39,143 +134,46 @@ def main():
     ap.add_argument("--edgefactor", type=int, default=16)
     ap.add_argument("--sources", type=int, default=8)
     ap.add_argument("--spmv-iters", type=int, default=20)
+    ap.add_argument("--stage", choices=["bfs", "sssp", "spmv", "pr"])
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
-    import jax
+    if args.stage:
+        return run_stage(args, args.stage)
 
-    # persistent compilation cache: the fused while-loop programs take
-    # minutes to compile at scale 18; caching makes reruns start in seconds.
-    # Off by default: the axon-tunneled backend has been observed to wedge
-    # when executable serialization is enabled (set GRB_BENCH_CACHE=1 on
-    # direct-attached TPUs).
-    if os.environ.get("GRB_BENCH_CACHE", "0") == "1":
-        cache_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    merged = {}
+    for stage in ("bfs", "sssp", "spmv", "pr"):
+        cmd = [sys.executable, "-u", os.path.abspath(__file__),
+               "--stage", stage, "--scale", str(args.scale),
+               "--edgefactor", str(args.edgefactor),
+               "--sources", str(args.sources),
+               "--spmv-iters", str(args.spmv_iters)]
         try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-        except Exception:
-            pass
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=STAGE_TIMEOUT)
+            if not args.json_only:
+                sys.stderr.write(proc.stderr)
+                sys.stderr.flush()
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+            merged.update(json.loads(line))
+        except subprocess.TimeoutExpired:
+            print(f"[{stage}] stage timed out after {STAGE_TIMEOUT:.0f}s — skipped",
+                  file=sys.stderr, flush=True)
+        except Exception as ex:
+            print(f"[{stage}] stage failed: {type(ex).__name__}: {ex}",
+                  file=sys.stderr, flush=True)
 
-    import jax.numpy as jnp
-
-    from graphblast_tpu.algorithms.bfs import _bfs_fused
-    from graphblast_tpu.algorithms.pr import _pr_fused, prepare_pr_matrix
-    from graphblast_tpu.descriptor import BFS_TUNED
-    from graphblast_tpu.io.rmat import rmat_matrix
-    from graphblast_tpu.semiring import PlusMultipliesSemiring
-    from graphblast_tpu.types import Direction, INDEX_DTYPE
-
-    def log(*a):
-        if not args.json_only:
-            print(*a, file=sys.stderr, flush=True)
-
-    dev = jax.devices()[0]
-    log(f"device: {dev.device_kind} ({dev.platform})")
-
-    t0 = time.perf_counter()
-    A = rmat_matrix(args.scale, args.edgefactor, seed=42)
-    log(f"rmat{args.scale} built: n={A.nrows} nnz={A.nvals} "
-        f"({time.perf_counter() - t0:.1f}s)")
-
-    deg = np.diff(np.asarray(A.row_ptr))
-    sources = np.argsort(deg)[::-1][: args.sources].astype(np.int32)
-
+    bfs = merged.get("bfs_gteps", 0.0)
     result = {
         "metric": f"bfs_gteps_rmat{args.scale}",
-        "value": 0.0,
+        "value": bfs,
         "unit": "GTEPS",
-        "vs_baseline": 0.0,
-        "device": dev.device_kind,
-        "n": A.nrows,
-        "nnz": A.nvals,
+        "vs_baseline": bfs,
     }
-
-    # --- BFS GTEPS (fused, direction-optimized) — the primary metric ---
-    desc = BFS_TUNED.replace(memusage=0.5)
-    kw = dict(struconly=True,
-              edge_cap=min(A.nnz_pad, max(1024, int(A.nnz_pad * 0.5) // 1024 * 1024)),
-              switchpoint=0.01, mode=Direction.PUSHPULL, sort_push=True,
-              max_niter=1000)
-    v, iters = _bfs_fused(A, jnp.asarray(int(sources[0]), INDEX_DTYPE), **kw)
-    jax.block_until_ready(v)
-    log(f"bfs compile done at t={time.perf_counter() - START:.0f}s; "
-        f"iters={int(iters)} reached={int((np.asarray(v) != 0).sum())}")
-
-    t0 = time.perf_counter()
-    for s in sources:
-        v, _ = _bfs_fused(A, jnp.asarray(int(s), INDEX_DTYPE), **kw)
-    jax.block_until_ready(v)
-    bfs_s = (time.perf_counter() - t0) / len(sources)
-    bfs_gteps = A.nvals / bfs_s / 1e9
-    result["value"] = round(bfs_gteps, 4)
-    result["vs_baseline"] = round(bfs_gteps / 1.0, 4)
-    log(f"BFS: {bfs_s * 1e3:.2f} ms/run → {bfs_gteps:.3f} GTEPS")
-
-    try:
-        # --- SSSP GTEPS (fused min-plus Bellman-Ford) ---
-        if not over_deadline():
-            from graphblast_tpu.algorithms.sssp import _sssp_fused
-
-            sskw = dict(edge_cap=kw["edge_cap"], switchpoint=0.01,
-                        mode=Direction.PUSHPULL, sort_push=True, max_niter=1000)
-            v, _ = _sssp_fused(A, jnp.asarray(int(sources[0]), INDEX_DTYPE), **sskw)
-            jax.block_until_ready(v)
-            t0 = time.perf_counter()
-            for s in sources:
-                v, _ = _sssp_fused(A, jnp.asarray(int(s), INDEX_DTYPE), **sskw)
-            jax.block_until_ready(v)
-            sssp_s = (time.perf_counter() - t0) / len(sources)
-            result["sssp_gteps"] = round(A.nvals / sssp_s / 1e9, 4)
-            log(f"SSSP: {sssp_s * 1e3:.2f} ms/run → {result['sssp_gteps']} GTEPS")
-        else:
-            log("deadline: skipping SSSP")
-
-        # --- pull SpMV sustained bandwidth (sort-based value kernel) ---
-        if not over_deadline():
-            from graphblast_tpu.ops.spmv import spmv_pull_sorted
-
-            x = jnp.ones((A.ncols,), jnp.float32)
-
-            @jax.jit
-            def spmv(A, x):
-                return spmv_pull_sorted(A.row_ptr, A.csc_col_ind, A.csc_row_ind,
-                                        A.csc_val, x, PlusMultipliesSemiring,
-                                        A.nrows, A.nvals)
-
-            y = spmv(A, x)
-            jax.block_until_ready(y)
-            t0 = time.perf_counter()
-            for _ in range(args.spmv_iters):
-                y = spmv(A, x)
-            jax.block_until_ready(y)
-            spmv_s = (time.perf_counter() - t0) / args.spmv_iters
-            bytes_moved = A.nnz_pad * (4 + 4 + 4) + A.nrows * 8
-            result["spmv_gbs"] = round(bytes_moved / spmv_s / 1e9, 1)
-            result["spmv_gteps"] = round(A.nvals / spmv_s / 1e9, 3)
-            log(f"SpMV: {spmv_s * 1e3:.2f} ms → {result['spmv_gbs']} GB/s")
-        else:
-            log("deadline: skipping SpMV")
-
-        # --- PageRank iterations/s ---
-        if not over_deadline():
-            Ap = prepare_pr_matrix(A, 0.85)
-            # warmup MUST use identical static args — a different
-            # (eps, max_niter) pair is a different compiled program and would
-            # put compile time inside the timed region
-            p, _, _ = _pr_fused(Ap, alpha=0.85, eps=0.0, max_niter=50)
-            jax.block_until_ready(p)
-            t0 = time.perf_counter()
-            p, _, _ = _pr_fused(Ap, alpha=0.85, eps=0.0, max_niter=50)
-            jax.block_until_ready(p)
-            result["pr_iters_per_s"] = round(50 / (time.perf_counter() - t0), 2)
-            log(f"PR: {result['pr_iters_per_s']} iters/s")
-        else:
-            log("deadline: skipping PR")
-    except Exception as ex:  # secondary metrics must never lose the JSON line
-        log(f"secondary metric failed: {type(ex).__name__}: {ex}")
-
+    for k in ("sssp_gteps", "spmv_gbs", "spmv_gteps", "pr_iters_per_s",
+              "device", "n", "nnz"):
+        if k in merged:
+            result[k] = merged[k]
     print(json.dumps(result))
 
 

@@ -42,7 +42,7 @@ def _initial_frontier(n: int, source) -> DualFrontier:
                         jnp.asarray(1.0 / n, jnp.float32), jnp.asarray(True))
 
 
-def _sssp_step(A: Matrix, v, f: DualFrontier, *, edge_cap, switchpoint, mode,
+def _sssp_step(A: Matrix, v, f: DualFrontier, *, edge_cap, switchpoint, mode, tiers=(64, 8),
                sort_push):
     def filter_unproductive(y):
         # eWiseAdd(m, CustomLessPlus, f2, v) + scmp-masked assign FLT_MAX
@@ -52,7 +52,7 @@ def _sssp_step(A: Matrix, v, f: DualFrontier, *, edge_cap, switchpoint, mode,
     f2, used_push = mxv_dual(
         A, f, MinimumPlusSemiring, identity=jnp.asarray(MAXF, jnp.float32),
         transpose=True, edge_cap=edge_cap, sort_push=sort_push,
-        switchpoint=switchpoint, mode=mode,
+        switchpoint=switchpoint, mode=mode, tier_divisors=tiers,
         postprocess=filter_unproductive)
     # relax: v = min(v, f2) (eWiseAdd MinimumPlus, sssp.hpp:80-82);
     # filtered entries are FLT_MAX and cannot lower v
@@ -62,8 +62,8 @@ def _sssp_step(A: Matrix, v, f: DualFrontier, *, edge_cap, switchpoint, mode,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "edge_cap", "switchpoint", "mode", "sort_push", "max_niter"))
-def _sssp_fused(A: Matrix, source, *, edge_cap, switchpoint, mode, sort_push,
+    "edge_cap", "switchpoint", "mode", "sort_push", "tiers", "max_niter"))
+def _sssp_fused(A: Matrix, source, *, edge_cap, switchpoint, mode, sort_push, tiers=(64, 8),
                 max_niter):
     n = A.nrows
     v0 = jnp.full((n,), MAXF, jnp.float32).at[
@@ -78,7 +78,7 @@ def _sssp_fused(A: Matrix, source, *, edge_cap, switchpoint, mode, sort_push,
         it, v, f, _ = state
         v, f2, succ, _ = _sssp_step(A, v, f, edge_cap=edge_cap,
                                     switchpoint=switchpoint, mode=mode,
-                                    sort_push=sort_push)
+                                    sort_push=sort_push, tiers=tiers)
         return it + 1, v, f2, succ
 
     it, v, f, succ = jax.lax.while_loop(
@@ -88,7 +88,7 @@ def _sssp_fused(A: Matrix, source, *, edge_cap, switchpoint, mode, sort_push,
 
 
 _sssp_step_jit = jax.jit(_sssp_step, static_argnames=(
-    "edge_cap", "switchpoint", "mode", "sort_push"))
+    "edge_cap", "switchpoint", "mode", "sort_push", "tiers"))
 
 
 def sssp(A: Matrix, source: int, desc: Descriptor = DEFAULT,
@@ -96,7 +96,8 @@ def sssp(A: Matrix, source: int, desc: Descriptor = DEFAULT,
     """Distances from source; unreachable = FLT_MAX (reference: sssp.hpp:26,
     matching SimpleReferenceSssp conventions)."""
     kw = dict(edge_cap=edge_cap_for(A, desc), switchpoint=desc.switchpoint,
-              mode=desc.mxv_mode, sort_push=desc.sort_push)
+              mode=desc.mxv_mode, sort_push=desc.sort_push,
+              tiers=desc.push_tiers)
     n = A.nrows
     if mode == "fused":
         v, _ = _sssp_fused(A, source, max_niter=desc.max_niter, **kw)

@@ -43,6 +43,8 @@ class Descriptor:
     sort_push: bool = None         # False = scatter-combine push (SIMPLE mode);
                                    # default from GRB_LOAD_BALANCE_MODE (config.py)
     fusedmask: bool = True         # fuse mask into the pull kernel
+    push_tiers: tuple = (64, 8)    # workspace tier divisors (cap/d each);
+                                   # fewer tiers = smaller compiled program
     load_balance: LoadBalanceMode = LoadBalanceMode.MERGE
 
     # --- algorithm loop controls (reference: descriptor.hpp:207-287 loadArgs) ---

@@ -110,6 +110,7 @@ def mxv_dual(
     switchpoint: float = 0.01,
     mode=None,
     postprocess=None,
+    tier_divisors: tuple = (64, 8),
 ):
     """One direction-optimized y = A ⊗ f (or fᵀ ⊗ A when transpose).
 
@@ -197,7 +198,7 @@ def mxv_dual(
     # 64x / 8x smaller workspaces (cond ladder; XLA compiles all branches but
     # executes one — every stage of a push scales linearly with its cap)
     tiers = []
-    for div in (64, 8):
+    for div in tier_divisors:
         c = min(edge_cap, max(round_up(edge_cap // div, 1024), 1024))
         if c < edge_cap and c not in tiers:
             tiers.append(c)
