@@ -26,11 +26,12 @@ from ..ops.dispatch import DualFrontier, mxv_dual
 from .common import TightTimer, dense_result, edge_cap_for, print_iter_row
 
 
-def _initial_frontier(n: int, source, dtype=jnp.float32) -> DualFrontier:
+def _initial_frontier(n: int, source, dtype=jnp.float32,
+                      with_values: bool = False) -> DualFrontier:
     source = jnp.asarray(source, INDEX_DTYPE)
     dense = jnp.zeros((n,), dtype).at[source].set(1)
     sind = jnp.full((n,), n, INDEX_DTYPE).at[0].set(source)
-    sval = jnp.zeros((n,), dtype).at[0].set(1)
+    sval = (jnp.zeros((n,), dtype).at[0].set(1) if with_values else None)
     return DualFrontier(n, dense, sind, sval, jnp.asarray(1, INDEX_DTYPE),
                         jnp.asarray(1.0 / n, jnp.float32), jnp.asarray(True))
 
@@ -56,7 +57,7 @@ def _bfs_fused(A: Matrix, source, *, struconly, edge_cap, switchpoint, mode,
                sort_push, max_niter):
     n = A.nrows
     v0 = jnp.zeros((n,), jnp.float32)
-    f0 = _initial_frontier(n, source)
+    f0 = _initial_frontier(n, source, with_values=not struconly)
 
     def cond(state):
         it, v, f, succ = state
@@ -94,7 +95,7 @@ def bfs(A: Matrix, source: int, desc: Descriptor = BFS_TUNED,
     # stepped: host loop, CSV parity with the reference driver
     timer = TightTimer()
     v = jnp.zeros((n,), jnp.float32)
-    f = _initial_frontier(n, source)
+    f = _initial_frontier(n, source, with_values=not desc.structure_only)
     unvisited = n
     succ = 1
     for it in range(1, desc.max_niter + 1):

@@ -229,7 +229,10 @@ def mxv_dual(
 
     if postprocess is not None:
         y = postprocess(y)
-    sind, sval, nv = sparse_from_dense(y, identity)
+    # structure-only traversals never read frontier values: skip the value
+    # fetch AND drop the loop-carried array (XLA cannot DCE loop state)
+    sind, sval, nv = sparse_from_dense(y, identity,
+                                       with_values=not structure_only)
     use_sparse, ratio = update_direction(nv, n_out, f.ratio, use_push_now,
                                          switchpoint, mode)
     return DualFrontier(n_out, y, sind, sval, nv, ratio, use_sparse), use_push_now

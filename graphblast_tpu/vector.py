@@ -166,7 +166,7 @@ def dense_from_sparse(n, sind, sval, snvals, identity):
     return base.at[tgt].set(sval, mode="drop")
 
 
-def sparse_from_dense(dense, identity):
+def sparse_from_dense(dense, identity, with_values: bool = True):
     """Stream-compact non-identity entries via sort, not scatter.
 
     Deterministic re-expression of flag→mgpu::Scan→streamCompact (reference:
@@ -184,6 +184,11 @@ def sparse_from_dense(dense, identity):
     from .ops.gather_dispatch import take
 
     sind = jax.lax.sort(jnp.where(flags, arange, n))
-    sval = jnp.where(sind < n, take(dense, jnp.minimum(sind, n - 1), sorted=True), ident)
+    if with_values:
+        sval = jnp.where(sind < n,
+                         take(dense, jnp.minimum(sind, n - 1), sorted=True),
+                         ident)
+    else:
+        sval = None  # structure-only callers (BFS frontiers) skip the fetch
     nv = jnp.sum(flags).astype(INDEX_DTYPE)
     return sind, sval, nv
