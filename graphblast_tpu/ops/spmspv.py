@@ -172,7 +172,7 @@ def spmspv_push(
         # MERGE mode: key-value sort then segmented ⊕-reduce
         # (reference: spmspv_inner.hpp:219-317). lax.sort is stable on TPU;
         # invalid lanes carry key n_out, sort to the tail, and are dropped.
-        keys, vals = jax.lax.sort((tgt, mv), num_keys=1)
+        keys, vals = jax.lax.sort((tgt, mv), num_keys=1, is_stable=False)
         heads = jnp.concatenate([jnp.ones((1,), jnp.bool_), keys[1:] != keys[:-1]])
         scanned = segmented_scan(vals, heads, semiring.add)
         tails = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), jnp.bool_)])
