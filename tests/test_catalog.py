@@ -242,3 +242,49 @@ def test_random_cc_mis_gc_properties(seed):
     for algo in ("is", "jp", "mis"):
         colors = gc(A, seed=seed, algo=algo).to_numpy()
         assert verify_gc(A, colors), algo
+
+
+# -- degenerate inputs ---------------------------------------------------------
+
+def test_single_vertex_graph():
+    from graphblast_tpu.algorithms import bfs, sssp, pr, cc
+
+    A = gb.Matrix.from_coo([0], [0], [1.0], 1, 1)  # self-loop (removed? kept)
+    assert bfs(A, 0).to_numpy()[0] == 1  # source labeled 1
+    assert sssp(A, 0).to_numpy()[0] == 0
+    assert cc(A).to_numpy()[0] == 0
+    p = pr(A).to_numpy()
+    assert p.shape == (1,) and np.isfinite(p).all()
+
+
+def test_empty_matrix():
+    A = gb.Matrix.from_coo([], [], [], 4, 4)
+    assert A.nvals == 0
+    from graphblast_tpu.algorithms import bfs, cc
+
+    v = bfs(A, 2).to_numpy()
+    np.testing.assert_array_equal(v, [0, 0, 1, 0])  # only source reached
+    labels = cc(A).to_numpy()
+    np.testing.assert_array_equal(labels, np.arange(4))  # all singletons
+
+
+def test_disconnected_components_bfs():
+    # two triangles, no bridge
+    r = [0, 1, 2, 3, 4, 5]
+    c = [1, 2, 0, 4, 5, 3]
+    A = gb.Matrix.from_coo(r + c, c + r, [1.0] * 12, 6, 6)
+    v = gb.algorithms.bfs(A, 0).to_numpy() if hasattr(gb, "algorithms") else None
+    from graphblast_tpu.algorithms import bfs
+
+    v = bfs(A, 0).to_numpy()
+    assert (v[:3] > 0).all() and (v[3:] == 0).all()
+
+
+def test_empty_sparse_frontier_no_crash():
+    from graphblast_tpu import Vector, Descriptor, Direction
+
+    A = gb.Matrix.from_mtx("data/small/chesapeake.mtx")
+    empty = Vector.sparse_from(A.nrows, [], [])
+    y = gb.mxv(A, empty, gb.PlusMultipliesSemiring,
+               desc=Descriptor(mxv_mode=Direction.PUSHONLY))
+    assert float(np.abs(y.to_numpy()).sum()) == 0.0
