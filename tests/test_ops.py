@@ -261,3 +261,42 @@ def test_mxm_dense_spmm(chesapeake, rng):
             if Ad[i, j] != 0:
                 want[i] = np.minimum(want[i], Ad[i, j] + B[j])
     np.testing.assert_allclose(C2, want, rtol=1e-4)
+
+
+@pytest.mark.parametrize("sr_case", [
+    (gb.PlusMultipliesSemiring, "plus"),
+    (gb.MinimumPlusSemiring, "min"),
+])
+@pytest.mark.parametrize("graph", ["data/small/chesapeake.mtx",
+                                   "data/small/test_cc.mtx"])
+def test_spmv_pull_sorted_both_orientations(rng, sr_case, graph):
+    """spmv_pull_sorted (the TPU value-SpMV kernel) vs dense reference —
+    exercised directly since CPU runs route to plain spmv_pull. Covers the
+    symmetric-aliased and asymmetric dual-representation cases."""
+    from graphblast_tpu.ops.spmv import spmv_pull_sorted
+
+    semiring, kind = sr_case
+    A = gb.Matrix.from_mtx(graph)
+    Ad = A.to_dense()
+    n = A.nrows
+    x = rng.random(n).astype(np.float32)
+
+    def dense_ref(mat):
+        if kind == "plus":
+            return mat @ x
+        out = np.full(n, MAXF, np.float32)
+        for i in range(n):
+            for j in range(n):
+                if mat[i, j] != 0:
+                    out[i] = min(out[i], mat[i, j] + x[j])
+        return out
+
+    # mxv orientation: out over CSR rows, gather at CSC col ids
+    got = spmv_pull_sorted(A.row_ptr, A.csc_col_ind, A.csc_row_ind, A.csc_val,
+                           jnp.asarray(x), semiring, n, A.nvals)
+    np.testing.assert_allclose(np.asarray(got), dense_ref(Ad), rtol=1e-4)
+
+    # vxm orientation: out over CSC cols, gather at CSR row ids
+    got2 = spmv_pull_sorted(A.col_ptr, A.row_ind, A.col_ind, A.val,
+                            jnp.asarray(x), semiring, n, A.nvals)
+    np.testing.assert_allclose(np.asarray(got2), dense_ref(Ad.T), rtol=1e-4)
