@@ -31,22 +31,34 @@ from .segops import segment_reduce_csr, reduce_all
 
 
 def _lower_bound(sorted_ref: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
-                 keys: jnp.ndarray, steps: int = 31) -> jnp.ndarray:
+                 keys: jnp.ndarray, steps: int = 31,
+                 sorted_queries: bool = False) -> jnp.ndarray:
     """Vectorized lower_bound of keys within per-lane [lo, hi) windows of
     sorted_ref (the TPU analog of the reference's per-lane device binarySearch,
-    kernels/util.hpp:7-40)."""
+    kernels/util.hpp:7-40). When the (window, key) queries are pre-sorted
+    (sort-join callers), every step's mid positions are monotone and the
+    gathers ride the Pallas lane kernel; the loop is unrolled so each step's
+    gather is a separate kernel launch rather than a serialized fori body."""
+    from .gather_dispatch import take
+
     nmax = sorted_ref.shape[0]
 
     def body(_, state):
         lo_, hi_ = state
         mid = (lo_ + hi_) // 2
-        km = sorted_ref[jnp.clip(mid, 0, nmax - 1)]
+        km = take(sorted_ref, jnp.clip(mid, 0, nmax - 1),
+                  sorted=sorted_queries)
         go_right = km < keys
         active = lo_ < hi_
         new_lo = jnp.where(active & go_right, mid + 1, lo_)
         new_hi = jnp.where(active & ~go_right, mid, hi_)
         return new_lo, new_hi
 
+    if sorted_queries:
+        state = (lo, hi)
+        for _ in range(steps):
+            state = body(None, state)
+        return state[0]
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return lo
 
@@ -87,25 +99,46 @@ def spgemm_masked(A: Matrix, B: Matrix, M: Matrix, semiring: Semiring,
         expansion_cap = max(round_up(max(total_host, 1), 128), 128)
 
     # scatter + cummax forward-fill instead of searchsorted (binary search
-    # serializes on TPU — see ops/spmspv.py expand_frontier note)
+    # serializes on TPU — see ops/spmspv.py expand_frontier note). All
+    # expansion gathers are monotone (m_slot is non-decreasing) → Pallas.
+    from .gather_dispatch import take
+
     e = jnp.arange(expansion_cap, dtype=INDEX_DTYPE)
     slot_ids = jnp.arange(m_cap, dtype=INDEX_DTYPE)
     mark_tgt = jnp.where(deg > 0, offsets, expansion_cap)
     marks = (jnp.zeros((expansion_cap,), INDEX_DTYPE)
              .at[mark_tgt].max(slot_ids, mode="drop"))
     m_slot = jax.lax.cummax(marks)
-    t = e - offsets[m_slot]
-    a_idx = jnp.clip(A.row_ptr[jnp.minimum(mi[m_slot], n - 1)] + t, 0, A.nnz_pad - 1)
-    k = A.col_ind[a_idx]
-    a = A.val[a_idx].astype(out_dtype)
-    j = jnp.minimum(mj[m_slot], b_ptr.shape[0] - 2)
+    t = e - take(offsets, m_slot, sorted=True)
+    mi_exp = jnp.minimum(take(mi, m_slot, sorted=True), n - 1)
+    a_idx = jnp.clip(take(A.row_ptr, mi_exp, sorted=True) + t,
+                     0, A.nnz_pad - 1)
+    k = take(A.col_ind, a_idx, sorted=True)
+    a = take(A.val, a_idx, sorted=True).astype(out_dtype)
     valid = e < (offsets[-1] + deg[-1])
+    # invalid lanes search an empty window (j sentinel = last ptr slot)
+    j = jnp.where(valid, take(mj, m_slot, sorted=True), b_ptr.shape[0] - 2)
+    j = jnp.minimum(j, b_ptr.shape[0] - 2)
 
-    lo = _lower_bound(b_ind, b_ptr[j], b_ptr[j + 1], k)
+    # --- B lookup as a SORT-JOIN (cost model: two unstable sorts beat 31
+    # random-gather binary-search steps ~40x; reference does a per-lane
+    # binary search per warp, kernels/spgemm.hpp:17-79) ---
+    # 1) order the expansion by (j, k): every later access is then monotone
+    ej, ek, eperm = jax.lax.sort((j, k, e), num_keys=2, is_stable=False)
+    lo0 = take(b_ptr, ej, sorted=True)
+    hi0 = take(b_ptr, ej + 1, sorted=True)
+    # 2) binary search with sorted queries: per-step mid positions are
+    # clustered, so the Pallas lane gather prunes to a few table rows
+    lo = _lower_bound(b_ind, lo0, hi0, ek, sorted_queries=True)
     lo_safe = jnp.clip(lo, 0, b_ind.shape[0] - 1)
-    found = (lo < b_ptr[j + 1]) & (b_ind[lo_safe] == k) & valid
-    b = b_val[lo_safe].astype(out_dtype)
-    prod = jnp.where(found, semiring.mul(a, b), ident)
+    found_s = (lo < hi0) & (take(b_ind, lo_safe, sorted=True) == ek)
+    b_s = jnp.where(found_s, take(b_val, lo_safe, sorted=True).astype(out_dtype),
+                    ident)
+    # 3) route (b, found) back to expansion order by sorting on the carried
+    # original slot id (eperm is a permutation of iota)
+    _, b_back, found_back = jax.lax.sort(
+        (eperm, b_s, found_s.astype(jnp.int32)), num_keys=1, is_stable=False)
+    prod = jnp.where((found_back != 0) & valid, semiring.mul(a, b_back), ident)
 
     seg_ptr = jnp.concatenate([offsets, (offsets[-1] + deg[-1])[None]])
     c_val = segment_reduce_csr(prod, seg_ptr, semiring.add, m_cap)
