@@ -10,14 +10,17 @@ TPU re-derivation of:
     gathers), then segment-⊕ by mask edge. Work complexity matches the
     reference: Σ_{(i,j)∈M} deg_A(i)·log deg_B(j).
   * cusparse csrgemm2 (spgemm.hpp:282-508): unmasked SpGEMM. The reference
-    defers to a vendor library; we provide a dense-blocked MXU fallback
-    (matmul on 128-aligned tiles) suited to the small/medium matrices the
-    examples use, and will grow a hash-based Pallas path for large inputs.
+    defers to a vendor library; we provide a dense MXU fallback for small
+    outputs and a general sparse ESC (expand–sort–compress) path
+    (spgemm_esc) — exact host-side nnz analysis, chunked static expansion,
+    sort + segmented-scan duplicate combine — semiring-generic where the
+    vendor path is float plus-times only.
   * traceMxmTranspose (trace.hpp:13-49): Tr(A ⊕.⊗ Bᵀ) as a sorted-row
     intersection reduce.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -27,7 +30,7 @@ import numpy as np
 from ..matrix import Matrix
 from ..semiring import Semiring
 from ..types import INDEX_DTYPE, round_up
-from .segops import segment_reduce_csr, reduce_all
+from .segops import segment_reduce_csr, segmented_scan, reduce_all
 
 
 def _lower_bound(sorted_ref: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
@@ -151,18 +154,202 @@ def spgemm_masked(A: Matrix, B: Matrix, M: Matrix, semiring: Semiring,
                   csc_val=None, format=M.format, symmetric=False)
 
 
+def _sort_dedup_coo(i, j, v, add_monoid, row_sentinel: int):
+    """Sort COO triples by (i, j), ⊕-combine duplicates, compact unique
+    entries to the front (sort-based — never scatter, per the measured cost
+    model). Invalid lanes must carry i == row_sentinel; they sort to the tail.
+
+    TPU analog of the reference ESC tail (CUB radix sort + mgpu ReduceByKey,
+    the same machinery cusparse csrgemm2 uses internally —
+    spmspv_inner.hpp:219-317 is the in-repo model). Returns padded
+    (ci, cj, cv, n_unique)."""
+    cap = i.shape[0]
+    i_s, j_s, v_s = jax.lax.sort((i, j, v), num_keys=2, is_stable=False)
+    same = (i_s[1:] == i_s[:-1]) & (j_s[1:] == j_s[:-1])
+    heads = jnp.concatenate([jnp.ones((1,), jnp.bool_), ~same])
+    scanned = segmented_scan(v_s, heads, add_monoid)
+    tails = jnp.concatenate([~same, jnp.ones((1,), jnp.bool_)])
+    keep = tails & (i_s < row_sentinel)
+    # compaction = one more unstable sort on a unique ascending key
+    rank = jnp.arange(cap, dtype=INDEX_DTYPE)
+    key = jnp.where(keep, rank, cap)
+    _, ci, cj, cv = jax.lax.sort((key, i_s, j_s, scanned), num_keys=1,
+                                 is_stable=False)
+    ci = jnp.where(jnp.arange(cap) < jnp.sum(keep), ci, row_sentinel)
+    return ci, cj, cv, jnp.sum(keep.astype(INDEX_DTYPE))
+
+
+@partial(jax.jit, static_argnames=("semiring", "a_sorted_by_k"))
+def _esc_chunk(ai, ak, av, a_count, b_ptr, b_ind, b_val, expand_e,
+               semiring: Semiring, a_sorted_by_k: bool):
+    """Expand one chunk of A entries over B's rows and dedup the products.
+
+    ESC (expand–sort–compress) SpGEMM: for each stored A(i,k), emit
+    A(i,k) ⊗ B(k,j) for every stored B(k,j), then combine duplicates with ⊕.
+    `expand_e` is the static-capacity iota carrying the expansion size.
+    When the chunk's A entries are ordered by k (A's CSC order), every gather
+    below is monotone/clustered and rides the Pallas lane kernel."""
+    from .gather_dispatch import take
+
+    out_dtype = av.dtype
+    acap = ai.shape[0]
+    expand_cap = expand_e.shape[0]
+    slot = jnp.arange(acap, dtype=INDEX_DTYPE)
+    slot_valid = slot < a_count
+    kk = jnp.minimum(ak, b_ptr.shape[0] - 2)
+    bstart = take(b_ptr, kk, sorted=a_sorted_by_k)
+    deg = jnp.where(slot_valid,
+                    take(b_ptr, kk + 1, sorted=a_sorted_by_k) - bstart, 0)
+    offsets = jnp.cumsum(deg) - deg
+    total = offsets[-1] + deg[-1]
+
+    # lane -> source A slot: scatter slot ids at segment starts + cummax
+    # forward-fill (searchsorted serializes on TPU — ops/spmspv.py note)
+    mark_tgt = jnp.where(deg > 0, offsets, expand_cap)
+    marks = (jnp.zeros((expand_cap,), INDEX_DTYPE)
+             .at[mark_tgt].max(slot, mode="drop"))
+    src = jax.lax.cummax(marks)
+    within = expand_e - take(offsets, src, sorted=True)
+    b_idx = jnp.clip(take(bstart, src, sorted=True) + within,
+                     0, b_ind.shape[0] - 1)
+    j = take(b_ind, b_idx, sorted=a_sorted_by_k)
+    prod = semiring.mul(take(av, src, sorted=True).astype(out_dtype),
+                        take(b_val, b_idx, sorted=a_sorted_by_k).astype(out_dtype))
+    lane_valid = expand_e < total
+    row_sentinel = jnp.iinfo(INDEX_DTYPE).max
+    i = jnp.where(lane_valid, take(ai, src, sorted=True), row_sentinel)
+    return _sort_dedup_coo(i, j, prod, semiring.add, row_sentinel)
+
+
+def spgemm_esc(A: Matrix, B: Matrix, semiring: Semiring,
+               transpose_b: bool = False,
+               max_lanes: int = 1 << 23) -> Matrix:
+    """General unmasked sparse×sparse C = A ⊕.⊗ (B or Bᵀ), semiring-generic.
+
+    TPU-native replacement for the reference's vendor-library path
+    (cusparse_spgemm2, spgemm.hpp:282-508 — float plus-times only; this is
+    any semiring): classic ESC formulated as sort + segmented scan, which is
+    deterministic and scatter-free on the combine side. The exact expansion
+    size Σ_k nnz_A(:,k)·nnz_B(k,:) is computed on the host (the analog of
+    csrgemm2's nnz-analysis pass, spgemm.hpp:365-414); chunks of A entries
+    bound the static workspace at `max_lanes` lanes, with a final cross-chunk
+    dedup pass."""
+    # B side: rows of (Bᵀ if transpose_b else B), i.e. B's CSC columns.
+    if transpose_b:
+        if B.has_csc:
+            b_ptr, b_ind, b_val = B.col_ptr, B.csc_row_ind, B.csc_val
+        else:
+            b_ptr, b_ind, b_val = None, None, None
+        k_dim, out_ncols = B.ncols, B.nrows
+    else:
+        b_ptr, b_ind, b_val = B.row_ptr, B.col_ind, B.val
+        k_dim, out_ncols = B.nrows, B.ncols
+    if b_ptr is None:
+        from ..operations import transpose as _t
+
+        return spgemm_esc(A, _t(B), semiring, transpose_b=not transpose_b,
+                          max_lanes=max_lanes)
+    if A.ncols != k_dim:
+        raise ValueError(f"dim mismatch: A is {A.shape}, B k-dim {k_dim}")
+
+    # A entries in CSC order when available (k ascending -> clustered B
+    # gathers); CSR order otherwise.
+    if A.has_csc:
+        ai, ak, av = A.csc_row_ind, A.csc_col_ind, A.csc_val
+        a_sorted = True
+    else:
+        ai, ak, av = A.row_ind, A.col_ind, A.val
+        a_sorted = False
+    out_dtype = A.dtype
+    nvals = int(A.nvals)
+
+    # host-side exact expansion sizing (nnz-analysis pass)
+    b_ptr_np = np.asarray(b_ptr)
+    ak_np = np.minimum(np.asarray(ak[:nvals]), k_dim - 1) if nvals else \
+        np.zeros(0, np.int64)
+    deg_np = (b_ptr_np[ak_np + 1] - b_ptr_np[ak_np]).astype(np.int64)
+    total = int(deg_np.sum())
+    if total == 0:
+        return Matrix.from_coo(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                               np.zeros(0), A.nrows, out_ncols, dtype=out_dtype)
+    max_lanes = max(max_lanes, int(deg_np.max()))
+
+    # greedy chunking of A-entry ranges so each chunk expands <= max_lanes
+    bounds = [0]
+    acc = 0
+    for t in range(nvals):
+        if acc + deg_np[t] > max_lanes and acc > 0:
+            bounds.append(t)
+            acc = 0
+        acc += int(deg_np[t])
+    bounds.append(nvals)
+    n_chunks = len(bounds) - 1
+    chunk_tot = [int(deg_np[bounds[c]:bounds[c + 1]].sum())
+                 for c in range(n_chunks)]
+    acap = max(round_up(max(bounds[c + 1] - bounds[c]
+                            for c in range(n_chunks)), 1024), 1024)
+    expand_cap = max(round_up(max(chunk_tot), 1024), 1024)
+    expand_e = jnp.arange(expand_cap, dtype=INDEX_DTYPE)
+
+    row_sentinel = np.iinfo(np.int32).max
+    ai_np, ak_np_full, av_np = (np.asarray(ai[:nvals]), np.asarray(ak[:nvals]),
+                                np.asarray(av[:nvals]))
+    pieces = []
+    for c in range(n_chunks):
+        s, t = bounds[c], bounds[c + 1]
+        cnt = t - s
+        pad = lambda a, fill, dt: np.concatenate(
+            [a[s:t].astype(dt), np.full(acap - cnt, fill, dtype=dt)])
+        ci, cj, cv, nu = _esc_chunk(
+            jnp.asarray(pad(ai_np, row_sentinel, np.int32)),
+            jnp.asarray(pad(ak_np_full, 0, np.int32)),
+            jnp.asarray(pad(av_np, 0, np.dtype(out_dtype))),
+            jnp.asarray(cnt, INDEX_DTYPE),
+            b_ptr, b_ind, b_val, expand_e, semiring, a_sorted)
+        nu = int(nu)
+        pieces.append((np.asarray(ci[:nu]), np.asarray(cj[:nu]),
+                       np.asarray(cv[:nu])))
+
+    if n_chunks == 1:
+        ci, cj, cv = pieces[0]
+    else:
+        # cross-chunk merge: same (i, j) may appear in several chunks
+        cat_i = np.concatenate([p[0] for p in pieces])
+        cat_j = np.concatenate([p[1] for p in pieces])
+        cat_v = np.concatenate([p[2] for p in pieces])
+        cap = max(round_up(len(cat_i), 1024), 1024)
+        pad_i = np.full(cap, row_sentinel, np.int32)
+        pad_i[:len(cat_i)] = cat_i
+        pad_j = np.zeros(cap, np.int32)
+        pad_j[:len(cat_j)] = cat_j
+        pad_v = np.zeros(cap, np.dtype(out_dtype))
+        pad_v[:len(cat_v)] = cat_v
+        mi, mj, mv, nu = _merge_coo(jnp.asarray(pad_i), jnp.asarray(pad_j),
+                                    jnp.asarray(pad_v), semiring)
+        nu = int(nu)
+        ci, cj, cv = np.asarray(mi[:nu]), np.asarray(mj[:nu]), np.asarray(mv[:nu])
+    return Matrix.from_coo(ci.astype(np.int64), cj.astype(np.int64), cv,
+                           A.nrows, out_ncols, dtype=out_dtype)
+
+
+@partial(jax.jit, static_argnames=("semiring",))
+def _merge_coo(i, j, v, semiring: Semiring):
+    return _sort_dedup_coo(i, j, v, semiring.add, jnp.iinfo(INDEX_DTYPE).max)
+
+
 def spgemm(A: Matrix, B: Matrix, semiring: Semiring,
            transpose_b: bool = False,
-           dense_limit: int = 4096 * 4096) -> Matrix:
-    """Unmasked C = A ⊕.⊗ B via dense MXU tiles (vendor-library replacement;
-    reference: cusparse_spgemm2, spgemm.hpp:282-508, float plus-times only —
-    this version is semiring-generic for plus-times via jnp.dot and falls back
-    to an explicit ⊕-reduction otherwise)."""
+           dense_limit: int = 1024 * 1024) -> Matrix:
+    """Unmasked C = A ⊕.⊗ B (reference: cusparse_spgemm2, spgemm.hpp:282-508,
+    float plus-times only — this version is semiring-generic). Small outputs
+    take dense MXU tiles; everything else takes the sparse ESC path
+    (spgemm_esc)."""
     eff_ncols = B.nrows if transpose_b else B.ncols
+    k_dim = B.ncols if transpose_b else B.nrows
+    if A.ncols != k_dim:   # frontend dim check (reference: dimension.hpp:13-114)
+        raise ValueError(f"dim mismatch: A is {A.shape}, B k-dim {k_dim}")
     if A.nrows * eff_ncols > dense_limit:
-        raise NotImplementedError(
-            "unmasked SpGEMM beyond dense fallback size; use spgemm_masked "
-            "or tile the computation (vendor-lib path in the reference)")
+        return spgemm_esc(A, B, semiring, transpose_b=transpose_b)
     Ad = jnp.asarray(A.to_dense())
     Bd = jnp.asarray(B.to_dense())
     if transpose_b:

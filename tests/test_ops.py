@@ -300,3 +300,70 @@ def test_spmv_pull_sorted_both_orientations(rng, sr_case, graph):
     got2 = spmv_pull_sorted(A.col_ptr, A.row_ind, A.col_ind, A.val,
                             jnp.asarray(x), semiring, n, A.nvals)
     np.testing.assert_allclose(np.asarray(got2), dense_ref(Ad.T), rtol=1e-4)
+
+
+def test_spgemm_esc_vs_scipy(rng):
+    """General unmasked sparse ESC SpGEMM vs scipy (reference analog:
+    cusparse_spgemm2, spgemm.hpp:282-508 — tested there only via gspgemm.cu
+    float plus-times; here semiring-generic)."""
+    import scipy.sparse as sp
+
+    from graphblast_tpu.matrix import Matrix
+    from graphblast_tpu.ops.spgemm import spgemm_esc
+
+    r = np.random.default_rng(7)
+    AS = sp.random(200, 300, density=0.02, random_state=r, format="csr",
+                   dtype=np.float32)
+    BS = sp.random(300, 150, density=0.02, random_state=r, format="csr",
+                   dtype=np.float32)
+    Aco, Bco = AS.tocoo(), BS.tocoo()
+    A = Matrix.from_coo(Aco.row, Aco.col, Aco.data, 200, 300)
+    B = Matrix.from_coo(Bco.row, Bco.col, Bco.data, 300, 150)
+    want = (AS @ BS).toarray()
+
+    C = spgemm_esc(A, B, gb.PlusMultipliesSemiring)
+    np.testing.assert_allclose(C.to_dense(), want, atol=1e-4)
+
+    # Bᵀ orientation (TC's mxm idiom, tc.hpp:24)
+    Bt = Matrix.from_coo(Bco.col, Bco.row, Bco.data, 150, 300)
+    C2 = spgemm_esc(A, Bt, gb.PlusMultipliesSemiring, transpose_b=True)
+    np.testing.assert_allclose(C2.to_dense(), want, atol=1e-4)
+
+    # chunked static workspace (max_lanes below the exact expansion size)
+    C3 = spgemm_esc(A, B, gb.PlusMultipliesSemiring, max_lanes=512)
+    np.testing.assert_allclose(C3.to_dense(), want, atol=1e-4)
+
+
+def test_spgemm_esc_minplus(rng):
+    """Min-plus ESC: ⊕-combine must be min, over stored entries only."""
+    import scipy.sparse as sp
+
+    from graphblast_tpu.matrix import Matrix
+    from graphblast_tpu.ops.spgemm import spgemm_esc
+
+    r = np.random.default_rng(3)
+    AS = sp.random(60, 50, density=0.1, random_state=r, format="csr",
+                   dtype=np.float32)
+    BS = sp.random(50, 40, density=0.1, random_state=r, format="csr",
+                   dtype=np.float32)
+    Aco, Bco = AS.tocoo(), BS.tocoo()
+    A = Matrix.from_coo(Aco.row, Aco.col, Aco.data, 60, 50)
+    B = Matrix.from_coo(Bco.row, Bco.col, Bco.data, 50, 40)
+    want = np.full((60, 40), MAXF, np.float32)
+    for i, k, a in zip(Aco.row, Aco.col, Aco.data):
+        for j, b in zip(BS.getrow(k).tocoo().col, BS.getrow(k).tocoo().data):
+            want[i, j] = min(want[i, j], a + b)
+    got = np.full((60, 40), MAXF, np.float32)
+    ci, cj, cv = spgemm_esc(A, B, gb.MinimumPlusSemiring).extract_tuples()
+    got[ci, cj] = cv
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_mxm_unmasked_routes_large_to_esc(chesapeake):
+    """gb.mxm without a mask must work past the dense-fallback limit."""
+    from graphblast_tpu.ops.spgemm import spgemm
+
+    A = chesapeake
+    C = spgemm(A, A, gb.PlusMultipliesSemiring, dense_limit=1)  # force ESC
+    want = A.to_scipy() @ A.to_scipy()
+    np.testing.assert_allclose(C.to_dense(), want.toarray(), atol=1e-3)
