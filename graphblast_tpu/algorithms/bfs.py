@@ -23,7 +23,8 @@ from ..semiring import LogicalOrAndSemiring
 from ..types import Direction, INDEX_DTYPE
 from ..vector import Vector
 from ..ops.dispatch import DualFrontier, mxv_dual
-from .common import TightTimer, dense_result, edge_cap_for, print_iter_row
+from .common import (TightTimer, dense_result, edge_cap_for,
+                     print_dirinfo, print_iter_row)
 
 
 def _initial_frontier(n: int, source, dtype=jnp.float32,
@@ -98,12 +99,15 @@ def bfs(A: Matrix, source: int, desc: Descriptor = BFS_TUNED,
     f = _initial_frontier(n, source, with_values=not desc.structure_only)
     unvisited = n
     succ = 1
+    prev_push = None
     for it in range(1, desc.max_niter + 1):
         timer.start()
         v, f, succ_t, used_push = _bfs_step_jit(A, v, f, it, **kw)
         ms = timer.stop(v, f.dense)
         succ = int(succ_t)
         unvisited -= succ
+        print_dirinfo(succ, n, bool(used_push), prev_push, desc.dirinfo)
+        prev_push = bool(used_push)
         print_iter_row(it, succ, n, unvisited, bool(used_push), ms,
                        desc.timing)
         if succ == 0:

@@ -54,5 +54,19 @@ def print_iter_row(it, succ, n, unvisited, used_push, ms, timing: int):
         print(f"{it}, {succ}/{n}, {unvisited}, {mode}, {ms:.4f}")
 
 
+def print_dirinfo(nv, n, used_push, prev_push, dirinfo: bool):
+    """Direction-switch announcements gated by the dirinfo knob (reference:
+    vector.hpp:306-309, 334-335 — nnz ratio + sparse↔dense conversion
+    messages). Stepped mode only; fused loops decide on-device."""
+    if not dirinfo:
+        return
+    if prev_push is not None and bool(used_push) != bool(prev_push):
+        conv = ("dense2sparse (pull→push)" if used_push
+                else "sparse2dense (push→pull)")
+        print(f"[dirinfo] {conv}")
+    print(f"[dirinfo] frontier nnz/n = {nv}/{n} = {nv / max(n, 1):.4f} -> "
+          f"{'push' if used_push else 'pull'}")
+
+
 def dense_result(n, arr) -> Vector:
     return Vector(n, Storage.DENSE, dense=arr)

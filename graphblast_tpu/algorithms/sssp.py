@@ -28,7 +28,8 @@ from ..semiring import MinimumPlusSemiring
 from ..types import INDEX_DTYPE
 from ..vector import Vector
 from ..ops.dispatch import DualFrontier, mxv_dual
-from .common import TightTimer, dense_result, edge_cap_for, print_iter_row
+from .common import (TightTimer, dense_result, edge_cap_for,
+                     print_dirinfo, print_iter_row)
 
 MAXF = float(jnp.finfo(jnp.float32).max)
 
@@ -106,11 +107,14 @@ def sssp(A: Matrix, source: int, desc: Descriptor = DEFAULT,
     timer = TightTimer()
     v = jnp.full((n,), MAXF, jnp.float32).at[source].set(0.0)
     f = _initial_frontier(n, source)
+    prev_push = None
     for it in range(1, desc.max_niter + 1):
         timer.start()
         v, f, succ_t, used_push = _sssp_step_jit(A, v, f, **kw)
         ms = timer.stop(v, f.dense)
         succ = int(succ_t)
+        print_dirinfo(succ, n, bool(used_push), prev_push, desc.dirinfo)
+        prev_push = bool(used_push)
         print_iter_row(it, succ, n, n, bool(used_push), ms, desc.timing)
         if succ == 0:
             break

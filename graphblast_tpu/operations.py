@@ -54,6 +54,21 @@ def _apply_accum(old_dense, new_dense, accum):
     return op(old_dense, new_dense).astype(new_dense.dtype)
 
 
+def _debug_op(desc: Descriptor, name: str, **operands):
+    """Op entry banner + operand/descriptor dump gated by desc.debug
+    (reference: `===Begin vxm===` banners, backend/cuda/operations.hpp:91-94,
+    plus printState's mask/scmp/repl/tran dump, backend/cuda/util.hpp:67-74)."""
+    if not desc.debug:
+        return
+    print(f"===Begin {name}===")
+    print(f"  scmp={desc.mask_scmp} replace={desc.output_replace} "
+          f"tran0={desc.transpose_inp0} tran1={desc.transpose_inp1} "
+          f"mxvmode={desc.mxv_mode.name} struconly={desc.structure_only}")
+    for k, v in operands.items():
+        if v is not None:
+            print(f"  {k}: {v!r}")
+
+
 # ---------------------------------------------------------------------------
 # mxv / vxm (reference: operations.hpp:59-127 → backend 82-327)
 # ---------------------------------------------------------------------------
@@ -76,6 +91,7 @@ def vxm(u: Vector, A: Matrix, semiring: Semiring,
 
 
 def _matvec(A, u, semiring, mask, accum, desc, w, transpose: bool) -> Vector:
+    _debug_op(desc, "vxm" if transpose else "mxv", A=A, u=u, mask=mask)
     n_out = A.ncols if transpose else A.nrows
     n_in = A.nrows if transpose else A.ncols
     _check(u.n == n_in, f"dim mismatch: u.n={u.n} vs {n_in}")
@@ -132,6 +148,7 @@ def mxm(A: Matrix, B: Matrix, semiring: Semiring,
     desc.transpose_inp1 uses Bᵀ (TC's idiom, tc.hpp:24)."""
     from .ops import spgemm
 
+    _debug_op(desc, "mxm", A=A, B=B, mask=mask)
     if mask is not None:
         return spgemm.spgemm_masked(A, B, mask, semiring,
                                     transpose_b=desc.transpose_inp1)
@@ -203,6 +220,7 @@ def eWiseAdd(u: Vector, v: Union[Vector, float, int], op,
 
 
 def _ewise(u, v, binop, mask, accum, desc, w, annihilator=None) -> Vector:
+    _debug_op(desc, "eWise", u=u, v=v, mask=mask)
     ident = jnp.zeros((), u.dtype)
     mask_d = _mask_dense(mask)
     if isinstance(v, Vector):
@@ -257,6 +275,7 @@ def assign(w: Vector, value, mask: Optional[Vector] = None,
     """Masked constant assign over all indices (GrB_ALL). Dense w keeps old
     values where the mask fails; sparse w sets-then-prunes (SSSP filter,
     assign.hpp:107-245)."""
+    _debug_op(desc, "assign", w=w, mask=mask)
     mask_d = _mask_dense(mask)
     if w.storage == Storage.SPARSE:
         sind, sval, nv = ew.assign_constant_sparse(
@@ -283,6 +302,7 @@ def assign_indexed(w: Vector, u: Vector, indices, desc: Descriptor = DEFAULT) ->
 def reduce_vector(u: Vector, monoid: Monoid, desc: Descriptor = DEFAULT):
     """vector → scalar (traced). struconly sparse shortcut: count
     (reference: reduce.hpp:71-75)."""
+    _debug_op(desc, "reduce", u=u)
     if u.storage == Storage.SPARSE:
         return ew.reduce_sparse_vector(u.sval, u.snvals, monoid,
                                        desc.structure_only)

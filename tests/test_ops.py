@@ -367,3 +367,22 @@ def test_mxm_unmasked_routes_large_to_esc(chesapeake):
     C = spgemm(A, A, gb.PlusMultipliesSemiring, dense_limit=1)  # force ESC
     want = A.to_scipy() @ A.to_scipy()
     np.testing.assert_allclose(C.to_dense(), want.toarray(), atol=1e-3)
+
+
+def test_debug_and_dirinfo_observability(chesapeake, capsys):
+    """desc.debug prints op banners (reference: ===Begin vxm=== banners,
+    backend/cuda/operations.hpp:91-94); desc.dirinfo prints push/pull
+    ratios in stepped algorithm mode (reference: vector.hpp:306-309)."""
+    from graphblast_tpu.algorithms import bfs
+
+    A = chesapeake
+    d = gb.Descriptor(debug=True)
+    u = gb.Vector.full(A.ncols, 1.0)
+    gb.mxv(A, u, gb.PlusMultipliesSemiring, desc=d)
+    out = capsys.readouterr().out
+    assert "===Begin mxv===" in out and "mxvmode=" in out
+
+    bfs(A, 0, desc=gb.Descriptor(dirinfo=True, structure_only=True),
+        mode="stepped")
+    out = capsys.readouterr().out
+    assert "[dirinfo] frontier nnz/n" in out
