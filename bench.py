@@ -112,6 +112,25 @@ def run_stage(args, stage: str):
         out["spmv_gteps"] = round(A.nvals / spmv_s / 1e9, 3)
         log(f"[spmv] {spmv_s * 1e3:.2f} ms → {out['spmv_gbs']} GB/s")
 
+    elif stage == "tc":
+        from graphblast_tpu.algorithms.tc import tc
+        from graphblast_tpu.operations import tril
+
+        # TC wants an undirected graph's lower triangle; RMAT here is
+        # directed, which is fine for a rate metric (the masked-SpGEMM work
+        # is Σ_{(i,j)∈L} deg(i), independent of the triangle total).
+        # main() caps this stage's scale: the expansion workspace grows with
+        # Σ deg², superlinear in edges on power-law graphs.
+        L = tril(A)
+        ntris = tc(L)   # warmup/compile
+        t0 = time.perf_counter()
+        ntris = tc(L)
+        tc_s = time.perf_counter() - t0
+        out["tc_ms"] = round(tc_s * 1e3, 1)
+        out["tc_rate_meps"] = round(A.nvals / tc_s / 1e6, 1)
+        log(f"[tc] ntris={ntris} {out['tc_ms']} ms "
+            f"({out['tc_rate_meps']} M edges/s)")
+
     elif stage == "pr":
         from graphblast_tpu.algorithms.pr import _pr_fused, prepare_pr_matrix
 
@@ -134,7 +153,7 @@ def main():
     ap.add_argument("--edgefactor", type=int, default=16)
     ap.add_argument("--sources", type=int, default=8)
     ap.add_argument("--spmv-iters", type=int, default=20)
-    ap.add_argument("--stage", choices=["bfs", "sssp", "spmv", "pr"])
+    ap.add_argument("--stage", choices=["bfs", "sssp", "spmv", "pr", "tc"])
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -142,9 +161,10 @@ def main():
         return run_stage(args, args.stage)
 
     merged = {}
-    for stage in ("bfs", "sssp", "spmv", "pr"):
+    for stage in ("bfs", "sssp", "spmv", "pr", "tc"):
+        stage_scale = min(args.scale, 15) if stage == "tc" else args.scale
         cmd = [sys.executable, "-u", os.path.abspath(__file__),
-               "--stage", stage, "--scale", str(args.scale),
+               "--stage", stage, "--scale", str(stage_scale),
                "--edgefactor", str(args.edgefactor),
                "--sources", str(args.sources),
                "--spmv-iters", str(args.spmv_iters)]
@@ -155,7 +175,11 @@ def main():
                 sys.stderr.write(proc.stderr)
                 sys.stderr.flush()
             line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-            merged.update(json.loads(line))
+            vals = json.loads(line)
+            if stage == "tc":
+                # tc runs on a capped scale — don't clobber n/nnz/device
+                vals = {k: v for k, v in vals.items() if k.startswith("tc_")}
+            merged.update(vals)
         except subprocess.TimeoutExpired:
             print(f"[{stage}] stage timed out after {STAGE_TIMEOUT:.0f}s — skipped",
                   file=sys.stderr, flush=True)
@@ -171,7 +195,7 @@ def main():
         "vs_baseline": bfs,
     }
     for k in ("sssp_gteps", "spmv_gbs", "spmv_gteps", "pr_iters_per_s",
-              "device", "n", "nnz"):
+              "tc_ms", "tc_rate_meps", "device", "n", "nnz"):
         if k in merged:
             result[k] = merged[k]
     print(json.dumps(result))
