@@ -168,9 +168,12 @@ def main():
                "--edgefactor", str(args.edgefactor),
                "--sources", str(args.sources),
                "--spmv-iters", str(args.spmv_iters)]
+        # tc pays a ~15-min eager-mode compile bill on the remote backend;
+        # give it headroom without holding the earlier stages hostage
+        tmo = STAGE_TIMEOUT * 2 if stage == "tc" else STAGE_TIMEOUT
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=STAGE_TIMEOUT)
+                                  timeout=tmo)
             if not args.json_only:
                 sys.stderr.write(proc.stderr)
                 sys.stderr.flush()
@@ -181,7 +184,7 @@ def main():
                 vals = {k: v for k, v in vals.items() if k.startswith("tc_")}
             merged.update(vals)
         except subprocess.TimeoutExpired:
-            print(f"[{stage}] stage timed out after {STAGE_TIMEOUT:.0f}s — skipped",
+            print(f"[{stage}] stage timed out after {tmo:.0f}s — skipped",
                   file=sys.stderr, flush=True)
         except Exception as ex:
             print(f"[{stage}] stage failed: {type(ex).__name__}: {ex}",

@@ -337,3 +337,128 @@ def cc_dist(A: Matrix, mesh: jax.sharding.Mesh, desc: Descriptor = DEFAULT,
         check_vma=False)
     parent = jax.jit(fn)(Ash)
     return np.asarray(parent)[: Ash.n]
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (ring-staged masked SpGEMM)
+# ---------------------------------------------------------------------------
+
+
+def _tc_prepare(L: Matrix, P: int, rows_per: int):
+    """Host prep: bucket L's stored edges (i, j) by (row-block owner of i,
+    row-block of j) with block-local ids, plus the per-bucket expansion bound.
+
+    The single-chip masked SpGEMM expands (mask edge × A-row entry) pairs
+    (ops/spgemm.py); distributed, device k owns the mask edges of its row
+    block and at ring stage s holds row block (k−s) mod P of L, so it can
+    process exactly the bucket whose j falls in that block."""
+    r, c, _ = L.extract_tuples()
+    deg = np.diff(np.asarray(L.row_ptr))          # global row degrees
+    kb = r // rows_per
+    jb = c // rows_per
+    mcap, ec = 1, 1
+    counts = np.zeros((P, P), np.int32)
+    buckets = {}
+    for k in range(P):
+        for b in range(P):
+            sel = (kb == k) & (jb == b)
+            ei = (r[sel] - k * rows_per).astype(np.int32)
+            ej = (c[sel] - b * rows_per).astype(np.int32)
+            buckets[k, b] = (ei, ej)
+            counts[k, b] = len(ei)
+            mcap = max(mcap, len(ei))
+            ec = max(ec, int(deg[r[sel]].sum()))
+    mcap = max(round_up(mcap, 256), 256)
+    ec = max(round_up(ec, 512), 512)
+    ei_all = np.zeros((P, P, mcap), np.int32)
+    ej_all = np.zeros((P, P, mcap), np.int32)
+    for (k, b), (ei, ej) in buckets.items():
+        ei_all[k, b, : len(ei)] = ei
+        ej_all[k, b, : len(ej)] = ej
+    return ei_all, ej_all, counts, mcap, ec
+
+
+def _tc_loop(csr_ptr, csr_ind, csr_val, ei, ej, cnt, *, P: int,
+             rows_per: int, ec: int, axis: str = "x"):
+    """Runs INSIDE shard_map. Rotates CSR row blocks around the ring; each
+    stage intersects local mask-edge rows against the held block's rows
+    (the warp binary-search masked-SpGEMM kernel, kernels/spgemm.hpp:17-79,
+    re-staged over the device ring)."""
+    my = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % P) for i in range(P)]
+    lptr, lind, lval = csr_ptr[0], csr_ind[0], csr_val[0]
+    mcap = ei.shape[-1]
+    nnz_cap = lind.shape[0]
+
+    def stage(s, carry):
+        acc, bptr, bind, bval = carry
+        b = jax.lax.rem(my - s + P, P)
+        e_i = jax.lax.dynamic_index_in_dim(ei[0], b, keepdims=False)
+        e_j = jax.lax.dynamic_index_in_dim(ej[0], b, keepdims=False)
+        m = jax.lax.dynamic_index_in_dim(cnt[0], b, keepdims=False)
+        slot = jnp.arange(mcap, dtype=INDEX_DTYPE)
+        valid_slot = slot < m
+        i_safe = jnp.clip(e_i, 0, rows_per - 1)
+        deg = jnp.where(valid_slot, lptr[i_safe + 1] - lptr[i_safe], 0)
+        offsets = jnp.cumsum(deg) - deg
+        total = offsets[-1] + deg[-1]
+        # lane -> mask-edge slot (scatter + cummax forward fill)
+        e = jnp.arange(ec, dtype=INDEX_DTYPE)
+        marks = (jnp.zeros((ec,), INDEX_DTYPE)
+                 .at[jnp.where(deg > 0, offsets, ec)].max(slot, mode="drop"))
+        src = jax.lax.cummax(marks)
+        within = e - offsets[src]
+        a_idx = jnp.clip(lptr[i_safe[src]] + within, 0, nnz_cap - 1)
+        kp = lind[a_idx]                      # global col of A-row entry
+        av = lval[a_idx]
+        lane_valid = e < total
+        j_loc = jnp.clip(e_j[src], 0, rows_per - 1)
+        lo0, hi0 = bptr[j_loc], bptr[j_loc + 1]
+
+        def bs(_, st):
+            lo_, hi_ = st
+            mid = (lo_ + hi_) // 2
+            km = bind[jnp.clip(mid, 0, nnz_cap - 1)]
+            go = km < kp
+            act = lo_ < hi_
+            return (jnp.where(act & go, mid + 1, lo_),
+                    jnp.where(act & ~go, mid, hi_))
+
+        lo_f, _ = jax.lax.fori_loop(0, 31, bs, (lo0, hi0))
+        ls = jnp.clip(lo_f, 0, nnz_cap - 1)
+        found = (lo_f < hi0) & (bind[ls] == kp) & lane_valid
+        acc = acc + jnp.sum(jnp.where(found, av * bval[ls],
+                                      jnp.zeros((), av.dtype)))
+        bptr = jax.lax.ppermute(bptr, axis, perm)
+        bind = jax.lax.ppermute(bind, axis, perm)
+        bval = jax.lax.ppermute(bval, axis, perm)
+        return acc, bptr, bind, bval
+
+    acc0 = jnp.zeros((), lval.dtype)
+    acc, *_ = jax.lax.fori_loop(0, P, stage, (acc0, lptr, lind, lval))
+    return jax.lax.psum(acc, axis)[None]  # replicated total, (1,) per device
+
+
+def tc_dist(L: Matrix, mesh: jax.sharding.Mesh,
+            Ash: Optional[ShardedMatrix] = None) -> int:
+    """Distributed triangle count of lower-triangular L (single-chip contract:
+    algorithms/tc.py tc(); reference tc.hpp:15-54). Ring-staged so each device
+    holds only O(E/P) matrix data at any moment; the per-stage ppermute of the
+    next row block overlaps the local intersection compute."""
+    if Ash is None:
+        Ash = partition(L, mesh)
+    P, rows_per = Ash.P, Ash.rows_per
+    ei, ej, cnt, mcap, ec = _tc_prepare(L, P, rows_per)
+    sh3 = jax.sharding.NamedSharding(mesh, P_("x", None, None))
+    sh2 = jax.sharding.NamedSharding(mesh, P_("x", None))
+    eid = jax.device_put(jnp.asarray(ei), sh3)
+    ejd = jax.device_put(jnp.asarray(ej), sh3)
+    cntd = jax.device_put(jnp.asarray(cnt), sh2)
+    fn = jax.shard_map(
+        functools.partial(_tc_loop, P=P, rows_per=rows_per, ec=ec),
+        mesh=mesh,
+        in_specs=(P_("x", None), P_("x", None), P_("x", None),
+                  P_("x", None, None), P_("x", None, None), P_("x", None)),
+        out_specs=P_("x"), check_vma=False)
+    out = jax.jit(fn)(Ash.csr_ptr, Ash.csr_ind, Ash.csr_val, eid, ejd, cntd)
+    return int(np.asarray(out)[0])

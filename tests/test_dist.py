@@ -175,3 +175,29 @@ def test_ring_mxv_matches_dense(chesapeake, mesh):
             if Ad[i, j] != 0:
                 want[i] = min(want[i], Ad[i, j] + x[j])
     np.testing.assert_allclose(got2, want, rtol=1e-4)
+
+
+def test_tc_dist_matches_single_chip(chesapeake, mesh):
+    """Ring-staged distributed triangle count == single-chip tc == golden
+    (reference has no distributed layer, SURVEY.md §2.8; single-chip contract
+    is tc.hpp:15-54 on tril'd input)."""
+    from graphblast_tpu.algorithms.tc import tc, tc_cpu
+    from graphblast_tpu.operations import tril
+    from graphblast_tpu.parallel import tc_dist
+
+    L = tril(chesapeake)
+    want = int(tc_cpu(L))
+    assert tc(L) == want
+    assert tc_dist(L, mesh) == want
+
+
+def test_tc_dist_rmat(mesh):
+    """tc_dist on a power-law RMAT graph (uneven buckets across devices)."""
+    from graphblast_tpu.algorithms.tc import tc_cpu
+    from graphblast_tpu.io.rmat import rmat_matrix
+    from graphblast_tpu.operations import tril
+    from graphblast_tpu.parallel import tc_dist
+
+    A = rmat_matrix(8, 8, seed=5)
+    L = tril(A)
+    assert tc_dist(L, mesh) == int(tc_cpu(L))
