@@ -462,3 +462,133 @@ def tc_dist(L: Matrix, mesh: jax.sharding.Mesh,
         out_specs=P_("x"), check_vma=False)
     out = jax.jit(fn)(Ash.csr_ptr, Ash.csr_ind, Ash.csr_val, eid, ejd, cntd)
     return int(np.asarray(out)[0])
+
+
+# ---------------------------------------------------------------------------
+# MIS / graph coloring / diameter — distributed
+# ---------------------------------------------------------------------------
+
+
+def _shard_weights(seed: int, rows_per: int, n_true: int, axis: str = "x"):
+    """Per-device strictly-positive random weights for the local vertex block
+    (device-resident jax.random replacing the reference's host-sequential
+    set_random apply, mis.hpp:129-133; fold_in keeps streams independent)."""
+    my = jax.lax.axis_index(axis)
+    gids = my * rows_per + jnp.arange(rows_per, dtype=INDEX_DTYPE)
+    real = gids < n_true
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), my)
+    w0 = jax.random.randint(key, (rows_per,), 1, 2 ** 30, dtype=jnp.int32)
+    return jnp.where(real, w0, 0), real
+
+
+def _mis_loop(Ash: ShardedMatrix, seed: int, max_niter: int, n_true: int):
+    """Distributed Luby MIS round (single-chip model: algorithms/mis.py
+    _mis_round; reference mis.hpp:23-141). all_gather pull per round."""
+    from ..semiring import MaximumMultipliesSemiring
+
+    rows_per = Ash.rows_per
+    cp, ci = Ash.csc_ptr[0], Ash.csc_ind[0]
+    cv = Ash.csc_val[0].astype(jnp.int32)
+    w0, _ = _shard_weights(seed, rows_per, n_true)
+    v0 = jnp.zeros((rows_per,), jnp.int32)
+
+    def cond(st):
+        it, v, w, succ = st
+        return (succ > 0) & (it <= max_niter)
+
+    def body(st):
+        it, v, w, _ = st
+        m = dops.dist_vxm_pull(cp, ci, cv, w, MaximumMultipliesSemiring,
+                               rows_per, mask_block=w)
+        f = (w > m).astype(jnp.int32)
+        v = jnp.where(f != 0, 1, v)
+        w = jnp.where(f != 0, 0, w)
+        succ = jax.lax.psum(jnp.sum(f).astype(INDEX_DTYPE), "x")
+        m2 = dops.dist_vxm_pull(cp, ci, cv, f, LogicalOrAndSemiring,
+                                rows_per, mask_block=w)
+        w = jnp.where(m2 != 0, 0, w)
+        return it + 1, v, w, succ
+
+    _, v, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1, INDEX_DTYPE), v0, w0,
+                     jnp.asarray(1, INDEX_DTYPE)))
+    return v
+
+
+def mis_dist(A: Matrix, mesh: jax.sharding.Mesh, seed: int = 0,
+             desc: Descriptor = DEFAULT,
+             Ash: Optional[ShardedMatrix] = None) -> np.ndarray:
+    """Distributed maximal independent set (0/1 membership)."""
+    if Ash is None:
+        Ash = partition(A, mesh)
+    fn = jax.shard_map(
+        functools.partial(_mis_loop, seed=seed, max_niter=desc.max_niter,
+                          n_true=Ash.n),
+        mesh=mesh, in_specs=(_mat_spec(),), out_specs=P_("x"),
+        check_vma=False)
+    v = jax.jit(fn)(Ash)
+    return np.asarray(v)[: Ash.n]
+
+
+def _gc_is_loop(Ash: ShardedMatrix, seed: int, max_niter: int, n_true: int):
+    """Distributed IS coloring: color = round id of the Luby round that
+    selects the vertex (single-chip model: algorithms/gc.py _gc_is_round;
+    reference gc.hpp:43-148)."""
+    from ..semiring import MaximumMultipliesSemiring
+
+    rows_per = Ash.rows_per
+    cp, ci = Ash.csc_ptr[0], Ash.csc_ind[0]
+    cv = Ash.csc_val[0].astype(jnp.int32)
+    w0, _ = _shard_weights(seed, rows_per, n_true)
+    v0 = jnp.zeros((rows_per,), jnp.int32)
+
+    def cond(st):
+        it, v, w, succ = st
+        return (succ > 0) & (it <= max_niter)
+
+    def body(st):
+        it, v, w, _ = st
+        m = dops.dist_vxm_pull(cp, ci, cv, w, MaximumMultipliesSemiring,
+                               rows_per)
+        f = (w > m).astype(jnp.int32)
+        succ = jax.lax.psum(jnp.sum(f).astype(INDEX_DTYPE), "x")
+        v = jnp.where(f != 0, it.astype(jnp.int32), v)
+        w = jnp.where(f != 0, 0, w)
+        return it + 1, v, w, succ
+
+    _, v, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1, INDEX_DTYPE), v0, w0,
+                     jnp.asarray(1, INDEX_DTYPE)))
+    return v
+
+
+def gc_dist(A: Matrix, mesh: jax.sharding.Mesh, seed: int = 0,
+            desc: Descriptor = DEFAULT,
+            Ash: Optional[ShardedMatrix] = None) -> np.ndarray:
+    """Distributed IS graph coloring (colors are 1-based round ids)."""
+    if Ash is None:
+        Ash = partition(A, mesh)
+    fn = jax.shard_map(
+        functools.partial(_gc_is_loop, seed=seed, max_niter=desc.max_niter,
+                          n_true=Ash.n),
+        mesh=mesh, in_specs=(_mat_spec(),), out_specs=P_("x"),
+        check_vma=False)
+    v = jax.jit(fn)(Ash)
+    return np.asarray(v)[: Ash.n]
+
+
+def diameter_dist(A: Matrix, s_start: int, s_end: int,
+                  mesh: jax.sharding.Mesh, desc: Descriptor = BFS_TUNED,
+                  Ash: Optional[ShardedMatrix] = None):
+    """Distributed pseudo-diameter: max eccentricity over the source range
+    via bfs_dist sweeps on a shared partition (single-chip model:
+    algorithms/diameter.py; reference diameter.hpp:14-53)."""
+    if Ash is None:
+        Ash = partition(A, mesh)
+    best, best_s = 0, -1
+    for s in range(s_start, s_end):
+        levels = bfs_dist(A, s, mesh, desc=desc, Ash=Ash)
+        ecc = int(levels.max()) - 1
+        if ecc > best:
+            best, best_s = ecc, s
+    return best, best_s

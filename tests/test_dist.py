@@ -201,3 +201,30 @@ def test_tc_dist_rmat(mesh):
     A = rmat_matrix(8, 8, seed=5)
     L = tril(A)
     assert tc_dist(L, mesh) == int(tc_cpu(L))
+
+
+def test_mis_dist_properties(chesapeake, mesh):
+    """Distributed MIS satisfies independence + maximality (property
+    verifier, reference test_mis.hpp model)."""
+    from graphblast_tpu.parallel import mis_dist
+
+    v = mis_dist(chesapeake, mesh, seed=3)
+    assert reference.verify_mis(chesapeake, v)
+
+
+def test_gc_dist_properties(chesapeake, mesh):
+    """Distributed IS coloring is proper and complete."""
+    from graphblast_tpu.parallel import gc_dist
+
+    colors = gc_dist(chesapeake, mesh, seed=3)
+    assert (colors > 0).all(), "every vertex colored"
+    assert reference.verify_gc(chesapeake, colors)
+
+
+def test_diameter_dist_matches_single_chip(chesapeake, mesh):
+    from graphblast_tpu.algorithms.diameter import diameter
+    from graphblast_tpu.parallel import diameter_dist
+
+    want = diameter(chesapeake, 0, 4)
+    got = diameter_dist(chesapeake, 0, 4, mesh)
+    assert got == want
