@@ -592,3 +592,57 @@ def diameter_dist(A: Matrix, s_start: int, s_end: int,
         if ecc > best:
             best, best_s = ecc, s
     return best, best_s
+
+
+def _lgc_loop(Ash: ShardedMatrix, source, alpha: float, eps: float,
+              max_niter: int):
+    """Distributed ACL PPR push (single-chip model: algorithms/lgc.py
+    _lgc_step, mass-preserving golden semantics; reference lgc.hpp:14-163).
+    The only collective per round is the all_gather pull of r2."""
+    from ..ops.elementwise import reduce_matrix_rows
+    from ..semiring import PlusMonoid
+
+    rows_per = Ash.rows_per
+    rp, ri, rv = Ash.csr_ptr[0], Ash.csr_ind[0], Ash.csr_val[0]
+    deg = reduce_matrix_rows(rp, rv, PlusMonoid, rows_per)
+    my = jax.lax.axis_index("x")
+    gids = my * rows_per + jnp.arange(rows_per, dtype=INDEX_DTYPE)
+    p0 = jnp.zeros((rows_per,), jnp.float32)
+    r0 = jnp.where(gids == source, 1.0, 0.0).astype(jnp.float32)
+
+    def cond(st):
+        it, p, r, succ = st
+        return (succ > 0) & (it <= max_niter)
+
+    def body(st):
+        it, p, r, _ = st
+        f = (r >= deg * eps) & (deg > 0)
+        succ = jax.lax.psum(jnp.sum(f).astype(INDEX_DTYPE), "x")
+        p = p + jnp.where(f, alpha * r, 0.0)
+        spread = jnp.where(f, (1.0 - alpha) / 2.0 * r, 0.0)
+        r2 = jnp.where(f, spread / jnp.maximum(deg, 1.0), 0.0)
+        push = dops.dist_mxv_pull(rp, ri, rv, r2, PlusMultipliesSemiring,
+                                  rows_per)
+        r = jnp.where(f, spread, r) + push
+        return it + 1, p, r, succ
+
+    _, p, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1, INDEX_DTYPE), p0, r0,
+                     jnp.asarray(1, INDEX_DTYPE)))
+    return p
+
+
+def lgc_dist(A: Matrix, source: int, mesh: jax.sharding.Mesh,
+             alpha: float = 0.15, eps: float = 1e-6,
+             desc: Descriptor = DEFAULT,
+             Ash: Optional[ShardedMatrix] = None) -> np.ndarray:
+    """Distributed local graph clustering (approximate PPR around source)."""
+    if Ash is None:
+        Ash = partition(A, mesh)
+    fn = jax.shard_map(
+        functools.partial(_lgc_loop, alpha=alpha, eps=eps,
+                          max_niter=desc.max_niter),
+        mesh=mesh, in_specs=(_mat_spec(), P_()), out_specs=P_("x"),
+        check_vma=False)
+    p = jax.jit(fn)(Ash, jnp.asarray(source, INDEX_DTYPE))
+    return np.asarray(p)[: Ash.n]

@@ -228,3 +228,13 @@ def test_diameter_dist_matches_single_chip(chesapeake, mesh):
     want = diameter(chesapeake, 0, 4)
     got = diameter_dist(chesapeake, 0, 4, mesh)
     assert got == want
+
+
+def test_lgc_dist_matches_single_chip(chesapeake, mesh):
+    """Distributed PPR push == single-chip lgc (deterministic fixed point)."""
+    from graphblast_tpu.algorithms.lgc import lgc
+    from graphblast_tpu.parallel import lgc_dist
+
+    want = lgc(chesapeake, 0, alpha=0.15, eps=1e-5).dense
+    got = lgc_dist(chesapeake, 0, mesh, alpha=0.15, eps=1e-5)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-7)
