@@ -33,7 +33,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=13)
     ap.add_argument("--edgefactor", type=int, default=16)
-    ap.add_argument("--algo", choices=["bfs", "pr", "sssp", "cc"], default="bfs")
+    ap.add_argument("--algo", choices=["bfs", "pr", "sssp", "cc", "tc",
+                                   "mis", "gc", "lgc"], default="bfs")
     ap.add_argument("--niter", type=int, default=3)
     ap.add_argument("--tpu", action="store_true", help="use real devices")
     args = ap.parse_args()
@@ -42,8 +43,9 @@ def main():
     import numpy as np
 
     from graphblast_tpu.io.rmat import rmat_matrix
-    from graphblast_tpu.parallel import (bfs_dist, cc_dist, partition,
-                                         pr_dist, sssp_dist)
+    from graphblast_tpu.parallel import (bfs_dist, cc_dist, gc_dist,
+                                         lgc_dist, mis_dist, partition,
+                                         pr_dist, sssp_dist, tc_dist)
 
     A = rmat_matrix(args.scale, args.edgefactor, seed=42)
     src = int(np.argmax(np.diff(np.asarray(A.row_ptr))))
@@ -51,7 +53,15 @@ def main():
     run = {"bfs": lambda m, Ash: bfs_dist(A, src, m, mode="pull", Ash=Ash),
            "pr": lambda m, Ash: pr_dist(A, m, Ash=Ash),
            "sssp": lambda m, Ash: sssp_dist(A, src, m, Ash=Ash),
-           "cc": lambda m, Ash: cc_dist(A, m, Ash=Ash)}[args.algo]
+           "cc": lambda m, Ash: cc_dist(A, m, Ash=Ash),
+           "tc": lambda m, Ash: tc_dist(L, m, Ash=Ash),
+           "mis": lambda m, Ash: mis_dist(A, m, Ash=Ash),
+           "gc": lambda m, Ash: gc_dist(A, m, Ash=Ash),
+           "lgc": lambda m, Ash: lgc_dist(A, src, m, Ash=Ash)}[args.algo]
+    if args.algo == "tc":
+        from graphblast_tpu.operations import tril
+
+        L = tril(A)
 
     print(f"algo={args.algo} n={A.nrows} nnz={A.nvals} devices={ndev}")
     print("P, ms/run, Medges/s, efficiency_vs_P1")
@@ -64,6 +74,8 @@ def main():
             from graphblast_tpu.algorithms.pr import prepare_pr_matrix
 
             Ash = partition(prepare_pr_matrix(A, 0.85), mesh)
+        elif args.algo == "tc":
+            Ash = partition(L, mesh)
         else:
             Ash = partition(A, mesh)
         run(mesh, Ash)  # compile + warm
