@@ -54,14 +54,16 @@ def main():
            "pr": lambda m, Ash: pr_dist(A, m, Ash=Ash),
            "sssp": lambda m, Ash: sssp_dist(A, src, m, Ash=Ash),
            "cc": lambda m, Ash: cc_dist(A, m, Ash=Ash),
-           "tc": lambda m, Ash: tc_dist(L, m, Ash=Ash),
+           "tc": lambda m, Ash: tc_dist(L, m, prep=tc_prep["p"]),
            "mis": lambda m, Ash: mis_dist(A, m, Ash=Ash),
            "gc": lambda m, Ash: gc_dist(A, m, Ash=Ash),
            "lgc": lambda m, Ash: lgc_dist(A, src, m, Ash=Ash)}[args.algo]
     if args.algo == "tc":
         from graphblast_tpu.operations import tril
+        from graphblast_tpu.parallel import tc_prepare
 
         L = tril(A)
+        tc_prep = {}
 
     print(f"algo={args.algo} n={A.nrows} nnz={A.nvals} devices={ndev}")
     print("P, ms/run, Medges/s, efficiency_vs_P1")
@@ -76,6 +78,7 @@ def main():
             Ash = partition(prepare_pr_matrix(A, 0.85), mesh)
         elif args.algo == "tc":
             Ash = partition(L, mesh)
+            tc_prep["p"] = tc_prepare(L, mesh, Ash)
         else:
             Ash = partition(A, mesh)
         run(mesh, Ash)  # compile + warm

@@ -7,6 +7,7 @@ XLA_FLAGS=--xla_force_host_platform_device_count=N."""
 from .partition import ShardedMatrix, partition, shard_vector
 from .algorithms import (bfs_dist, cc_dist, pr_dist, sssp_dist, tc_dist,
                          mis_dist, gc_dist, diameter_dist, lgc_dist,
+                         tc_prepare,
                          make_bfs_dist)
 from .partition2d import Sharded2D, partition_2d, mxv_2d
 from .ring import RingShardedMatrix, partition_ring, mxv_ring, ring_mxv_pull
