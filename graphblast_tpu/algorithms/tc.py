@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..descriptor import Descriptor, DEFAULT
 from ..matrix import Matrix
-from ..semiring import PlusMultipliesSemiring, PlusMonoid
+from ..semiring import PlusMultipliesSemiring
 from ..vector import Vector
 from .common import TightTimer
 
@@ -22,12 +22,14 @@ from .common import TightTimer
 def tc(L: Matrix, desc: Descriptor = DEFAULT) -> int:
     """Triangle count of a lower-triangular matrix L (the reference tc()
     contract: caller runs tril first, gtc.cu:80-82)."""
-    from ..operations import mxm, reduce_matrix
+    from ..operations import mxm
 
     # mxm(B, mask=A, PlusMultiplies, A, A) with INP1 transposed (tc.hpp:24-39)
     B = mxm(L, L, PlusMultipliesSemiring, mask=L,
             desc=desc.replace(transpose_inp1=True))
-    return int(reduce_matrix(B, PlusMonoid))
+    # per-entry counts are f32-exact (< 2^24 each); the total is summed in
+    # int32 so counts above 2^24 don't silently round (ADVICE r1)
+    return int(jnp.sum(jnp.round(B.val).astype(jnp.int32)))
 
 
 def triangle_count(A: Matrix, desc: Descriptor = DEFAULT) -> int:

@@ -161,7 +161,18 @@ class Matrix:
             fmt_out = SparseFormat.CSRONLY if (csc["col_ptr"] is None) else SparseFormat.CSRCSC
             if fmt == SparseFormat.CSRONLY and not symmetric:
                 fmt_out = SparseFormat.CSRONLY
-        return Matrix(nrows, ncols, nvals, **csr, **csc, format=fmt_out, symmetric=symmetric)
+        M = Matrix(nrows, ncols, nvals, **csr, **csc, format=fmt_out, symmetric=symmetric)
+        # Host-side CSR/CSC stash (not pytree leaves — vanishes across jit):
+        # SpMV plan builders (ops/pallas/bilinear.py) read these instead of
+        # paying a device→host fetch, which on the tunneled TPU runs at
+        # ~0.5 MB/s (~3 min for a rmat18 edge array).
+        if fmt != SparseFormat.CSCONLY:
+            object.__setattr__(M, "_host_csr",
+                               (row_ptr_np, csr_cols.astype(np.int32), csr_vals))
+        if csc["col_ptr"] is not None:
+            object.__setattr__(M, "_host_csc",
+                               (col_ptr_np, csc_rows.astype(np.int32), csc_vals))
+        return M
 
     @staticmethod
     def from_mtx(path: str, directed: int = 0, dtype=jnp.float32,

@@ -1,0 +1,268 @@
+"""Tiled one-hot bilinear SpMV — the Plus-semiring bandwidth kernel.
+
+Replaces the sort-based value pull (ops/spmv.py spmv_pull_sorted — monotone
+gather + full-edge lax.sort, ~10 ms of sort per SpMV at rmat18) with a single
+Pallas kernel and zero runtime sorting. The mgpu::SpmvCsrBinary analog
+(reference: backend/cuda/spmv.hpp:188), re-derived for a machine with no
+hardware gather/scatter:
+
+  * Build time (host, once per matrix orientation): edges are bucketed into
+    4096×4096 (row-window × col-window) tiles and each tile's edge list is
+    padded to a SUB-edge multiple. Per edge we store ONE packed int32
+    (row_loc << 12 | col_loc) plus the f32 value; per sub-block two scalar
+    offsets locate the x window and the y window.
+  * Kernel, per 1024-edge sub-block laid out (8, 128):
+      - gather x: sweep the 32-row VMEM x-window with the Mosaic lane gather
+        (jnp.take_along_axis axis=1), select on the window-row id — measured
+        7.5 ps per (row × query), so a 32-row window costs ~0.24 ns/edge;
+      - multiply by the edge value (VPU);
+      - scatter: one-hot bilinear on the MXU —
+          M(32,128) = A(32, 1024) @ B(1024, 128),
+        A[a, q] = (row_hi[q]==a)·product[q],  B[q, i] = (row_lo[q]==i)
+        — 4096 MACs/edge, ~0.1-0.2 ns/edge at measured f32 MXU rates;
+      - accumulate M into the VMEM-resident y at a dynamic sublane offset
+        (verified supported by tools/tpu_micro.py dynds).
+
+  Replaces sort (1.3 ns/edge) + boundary gathers + ~10 elementwise passes
+  with ~0.5 ns/edge total. Deterministic (fixed tile order). Requires
+  x and y resident in VMEM: n ≤ ~1.5M per side (scale-20 class); larger
+  graphs fall back to the sorted pipeline until the windowed-DMA variant
+  lands.
+
+Also serves boolean BFS pull at any density: run with x = frontier (0/1
+floats) and val = 1.0; y is then the frontier-neighbor count per vertex and
+(y > 0) is the or-pull result (reference: kernels/spmv.hpp:10-59).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...types import round_up
+
+LANE = 128
+W_BITS = 12                 # 4096-wide row/col windows
+W = 1 << W_BITS
+W_ROWS = W // LANE          # 32 table rows per window
+SUB = 1024                  # edges per sub-block (8 sublane rows)
+SUB_ROWS = SUB // LANE
+CHUNK_SUBS = 16             # sub-blocks per grid step (16K edges)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BilinearPlan:
+    """Static tiling of one matrix orientation for spmv_bilinear.
+
+    Leaves: loc (m_pad,) int32 packed (row_loc<<12 | col_loc); val (m_pad,)
+    f32 (0 on pad slots); c_off/r_off (nsb,) int32 window starts in table-row
+    units. Static: logical dims + padded table dims.
+    """
+
+    n_out: int
+    n_in: int
+    n_out_pad: int           # round_up(n_out, W)
+    n_in_pad: int
+    m_pad: int               # total padded edges (SUB·CHUNK_SUBS multiple)
+    loc: jnp.ndarray
+    val: jnp.ndarray
+    c_off: jnp.ndarray
+    r_off: jnp.ndarray
+
+    def tree_flatten(self):
+        return ((self.loc, self.val, self.c_off, self.r_off),
+                (self.n_out, self.n_in, self.n_out_pad, self.n_in_pad,
+                 self.m_pad))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*aux, *leaves)
+
+
+def build_plan(ptr, ind, val, n_out: int, n_in: int) -> BilinearPlan:
+    """Host-side tiling pass (numpy; analog of the reference's build-time
+    coo2csr/csc preprocessing, util.hpp:501-572 — run once, reused every
+    SpMV). `ptr`/`ind`/`val` describe the PULL orientation: y[i] =
+    Σ_{e ∈ seg i} val[e] · x[ind[e]]; val=None means all-ones (struconly)."""
+    ptr_np = np.asarray(ptr, dtype=np.int64)
+    m = int(ptr_np[-1])
+    n_out_pad = max(round_up(n_out, W), W)
+    n_in_pad = max(round_up(n_in, W), W)
+
+    if m == 0:
+        chunk = SUB * CHUNK_SUBS
+        nsb = CHUNK_SUBS
+        return BilinearPlan(
+            n_out, n_in, n_out_pad, n_in_pad, chunk,
+            jnp.zeros((chunk,), jnp.int32), jnp.zeros((chunk,), jnp.float32),
+            jnp.zeros((nsb,), jnp.int32), jnp.zeros((nsb,), jnp.int32))
+
+    rows = np.repeat(np.arange(n_out, dtype=np.int64), np.diff(ptr_np))
+    cols = np.asarray(ind, dtype=np.int64)[:m]
+    vals = (np.asarray(val, dtype=np.float32)[:m] if val is not None
+            else np.ones(m, np.float32))
+
+    n_cb = n_in_pad >> W_BITS
+    tile = (rows >> W_BITS) * n_cb + (cols >> W_BITS)
+    order = np.argsort(tile, kind="stable")
+    t_sorted = tile[order]
+
+    head = np.r_[True, t_sorted[1:] != t_sorted[:-1]]
+    starts = np.flatnonzero(head)
+    counts = np.diff(np.r_[starts, m])
+    padded = ((counts + SUB - 1) // SUB) * SUB
+    out_starts = np.r_[0, np.cumsum(padded)]
+    total = int(out_starts[-1])
+    chunk = SUB * CHUNK_SUBS
+    m_pad = max(round_up(total, chunk), chunk)
+
+    within = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
+    pos = np.repeat(out_starts[:-1], counts) + within
+
+    r_loc = (rows[order] & (W - 1)).astype(np.int32)
+    c_loc = (cols[order] & (W - 1)).astype(np.int32)
+    loc = np.zeros(m_pad, np.int32)
+    loc[pos] = (r_loc << W_BITS) | c_loc
+    vstream = np.zeros(m_pad, np.float32)
+    vstream[pos] = vals[order]
+
+    # per-sub-block window offsets (table-row units); dummy tail sub-blocks
+    # point at window 0 and carry zero values
+    nsb = m_pad // SUB
+    sb_tile = np.zeros(nsb, np.int64)
+    sb_tile[:total // SUB] = np.repeat(t_sorted[starts], padded // SUB)
+    c_off = ((sb_tile % n_cb) * W_ROWS).astype(np.int32)
+    r_off = ((sb_tile // n_cb) * W_ROWS).astype(np.int32)
+
+    return BilinearPlan(n_out, n_in, n_out_pad, n_in_pad, m_pad,
+                        jnp.asarray(loc), jnp.asarray(vstream),
+                        jnp.asarray(c_off), jnp.asarray(r_off))
+
+
+def _kernel(c_off_ref, r_off_ref, x_ref, loc_ref, val_ref, y_ref):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
+
+    for sb in range(CHUNK_SUBS):
+        base = c * CHUNK_SUBS + sb
+        c0 = c_off_ref[base]
+        r0 = r_off_ref[base]
+        lv = loc_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
+        vv = val_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
+
+        cl = lv & (W - 1)
+        chi = cl >> 7
+        clo = cl & (LANE - 1)
+
+        # window sweep, python-unrolled: fori overhead on single-vreg
+        # bodies costs more than the ops themselves
+        xg = jnp.zeros(clo.shape, y_ref.dtype)
+        for s in range(W_ROWS):
+            row = x_ref[pl.ds(c0 + s, 1), :]
+            cand = jnp.take_along_axis(
+                jnp.broadcast_to(row, clo.shape), clo, axis=1)
+            xg = jnp.where(chi == s, cand, xg)
+        p = xg * vv
+
+        rl = lv >> W_BITS
+        # flatten the (SUB_ROWS,128) sub-block to one 1024-lane row (row-major
+        # lane collapse — the only reshape Mosaic's layout inference accepts)
+        rhi = (rl >> 7).reshape(1, SUB)
+        rlo = (rl & (LANE - 1)).reshape(1, SUB)
+        pf = p.reshape(1, SUB)
+
+        # M(32,128) = A(32,SUB) ·ᵀ Bt(128,SUB): one-hot bilinear, both
+        # one-hots built with q along lanes (no cross-lane relayouts)
+        ia = jax.lax.broadcasted_iota(jnp.int32, (W_ROWS, SUB), 0)
+        A = jnp.where(jnp.broadcast_to(rhi, (W_ROWS, SUB)) == ia,
+                      jnp.broadcast_to(pf, (W_ROWS, SUB)), 0.0)
+        ib = jax.lax.broadcasted_iota(jnp.int32, (LANE, SUB), 0)
+        Bt = (jnp.broadcast_to(rlo, (LANE, SUB)) == ib).astype(y_ref.dtype)
+        # HIGHEST: TPU DEFAULT truncates f32 operands to one bf16 pass
+        # (measured 1.2e-3 rel err vs 5e-5 for true f32 accumulation)
+        M = jax.lax.dot_general(A, Bt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        y_ref[pl.ds(r0, W_ROWS), :] += M
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """y[0:n_out] = Σ products routed by the plan; Plus monoid only."""
+    n_in_pad, n_out_pad = plan.n_in_pad, plan.n_out_pad
+    x_p = jnp.pad(x.astype(jnp.float32), (0, n_in_pad - x.shape[0]))
+    x2d = x_p.reshape(n_in_pad // LANE, LANE)
+
+    chunk_rows = CHUNK_SUBS * SUB_ROWS
+    n_chunks = plan.m_pad // (CHUNK_SUBS * SUB)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x table
+            pl.BlockSpec((chunk_rows, LANE), lambda c, co, ro: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_rows, LANE), lambda c, co, ro: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_out_pad // LANE, LANE),
+                               lambda c, co, ro: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y2d = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out_pad // LANE, LANE), jnp.float32),
+        interpret=interpret,
+    )(plan.c_off, plan.r_off, x2d,
+      plan.loc.reshape(-1, LANE), plan.val.reshape(-1, LANE))
+    return y2d.reshape(-1)[:plan.n_out]
+
+
+def bilinear_available(n_out: int, n_in: int,
+                       vmem_budget: int = 12 * 1024 * 1024) -> bool:
+    """x and y tables must both sit in VMEM alongside the edge buffers."""
+    need = (round_up(n_out, W) + round_up(n_in, W)) * 4
+    return need <= vmem_budget
+
+
+def plan_for(A, transpose: bool = False,
+             host_val: Optional[np.ndarray] = None) -> Optional["BilinearPlan"]:
+    """Cached plan for one pull orientation of Matrix `A`.
+
+    transpose=False → mxv pull (y = A·x, CSR); True → vxm pull (y = Aᵀ·x,
+    CSC). Returns None when the needed orientation has no host-side stash
+    (matrices rebuilt inside jit) or the tables exceed VMEM. `host_val`
+    overrides the stored values (e.g. PR's α/outdegree scaling) — such plans
+    are NOT cached."""
+    n_out, n_in = (A.ncols, A.nrows) if transpose else (A.nrows, A.ncols)
+    if not bilinear_available(n_out, n_in):
+        return None
+    host = getattr(A, "_host_csc" if transpose else "_host_csr", None)
+    if host is None:
+        return None
+    cache = getattr(A, "_bilinear_plans", None)
+    key = ("csc" if transpose else "csr")
+    if host_val is None and cache is not None and key in cache:
+        return cache[key]
+    ptr, ind, val = host
+    plan = build_plan(ptr, ind, val if host_val is None else host_val,
+                      n_out, n_in)
+    if host_val is None:
+        if cache is None:
+            cache = {}
+            object.__setattr__(A, "_bilinear_plans", cache)
+        cache[key] = plan
+    return plan

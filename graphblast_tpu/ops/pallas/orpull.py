@@ -87,20 +87,23 @@ def orpull_bit_csum(words: jnp.ndarray, col_ind: jnp.ndarray,
     """csum[e] = inclusive prefix count of frontier bits over col_ind.
 
     words: (n_words,) int32 packed frontier bitmap (bit c of the frontier at
-    word c>>5, bit c&31). col_ind: (nnz_pad,) int32; pad columns must point
-    at zero bits (any c >= n works — the padded bitmap reads 0).
+    word c>>5, bit c&31). col_ind: (nnz_pad,) int32; any c >= n reads the
+    guaranteed-zero pad word at index n_words (the bitmap is always padded
+    by at least one zero word, even when n_words is a LANE multiple).
     """
     nw = words.shape[0]
     m = col_ind.shape[0]
-    S = round_up(max(nw, 1), LANE) // LANE
+    # nw + 1: keep one zero word beyond the bitmap so the pad sentinel (and
+    # any clamped c >= n) never aliases a live frontier bit (ADVICE r1).
+    S = round_up(nw + 1, LANE) // LANE
     w2d = jnp.pad(words, (0, S * LANE - nw)).reshape(S, LANE)
 
     chunk = CHUNK_SUB * LANE
     m_pad = round_up(max(m, 1), chunk)
     col_p = jnp.pad(col_ind, (0, m_pad - m),
                     constant_values=nw * 32).astype(jnp.int32)
-    # clamp into the padded bitmap (reads a zero word)
-    col_p = jnp.minimum(col_p, S * LANE * 32 - 1).reshape(-1, LANE)
+    # clamp out-of-range columns onto the zero pad word
+    col_p = jnp.minimum(col_p, nw * 32).reshape(-1, LANE)
 
     out = pl.pallas_call(
         functools.partial(_kernel, S),

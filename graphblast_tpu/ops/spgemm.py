@@ -236,7 +236,7 @@ def spgemm_esc(A: Matrix, B: Matrix, semiring: Semiring,
     dedup pass."""
     # B side: rows of (Bᵀ if transpose_b else B), i.e. B's CSC columns.
     if transpose_b:
-        if B.has_csc:
+        if B.has_csc():
             b_ptr, b_ind, b_val = B.col_ptr, B.csc_row_ind, B.csc_val
         else:
             b_ptr, b_ind, b_val = None, None, None
@@ -254,7 +254,7 @@ def spgemm_esc(A: Matrix, B: Matrix, semiring: Semiring,
 
     # A entries in CSC order when available (k ascending -> clustered B
     # gathers); CSR order otherwise.
-    if A.has_csc:
+    if A.has_csc():
         ai, ak, av = A.csc_row_ind, A.csc_col_ind, A.csc_val
         a_sorted = True
     else:

@@ -425,14 +425,19 @@ def _tc_loop(csr_ptr, csr_ind, csr_val, ei, ej, cnt, *, P: int,
         lo_f, _ = jax.lax.fori_loop(0, 31, bs, (lo0, hi0))
         ls = jnp.clip(lo_f, 0, nnz_cap - 1)
         found = (lo_f < hi0) & (bind[ls] == kp) & lane_valid
-        acc = acc + jnp.sum(jnp.where(found, av * bval[ls],
+        # per-stage sum in f32 is exact (bounded by the static edge cap
+        # ec < 2^24); the running total accumulates in int32 so counts up
+        # to 2^31 survive the fori_loop and the psum (ADVICE r1: f32
+        # accumulation silently loses integers above 2^24).
+        stage_sum = jnp.sum(jnp.where(found, av * bval[ls],
                                       jnp.zeros((), av.dtype)))
+        acc = acc + jnp.round(stage_sum).astype(jnp.int32)
         bptr = jax.lax.ppermute(bptr, axis, perm)
         bind = jax.lax.ppermute(bind, axis, perm)
         bval = jax.lax.ppermute(bval, axis, perm)
         return acc, bptr, bind, bval
 
-    acc0 = jnp.zeros((), lval.dtype)
+    acc0 = jnp.zeros((), jnp.int32)
     acc, *_ = jax.lax.fori_loop(0, P, stage, (acc0, lptr, lind, lval))
     return jax.lax.psum(acc, axis)[None]  # replicated total, (1,) per device
 

@@ -152,6 +152,24 @@ def shard_cache_path(base: str, P: int) -> str:
     return os.path.join(d or ".", f".{stem}.p{P}.shards.npz")
 
 
+def _content_fingerprint(A: Matrix) -> int:
+    """Cheap structural+value fingerprint so a regenerated graph with the
+    same (n, nvals) — e.g. a different-seed RMAT at the same scale, or
+    reweighted edges — invalidates stale shard checkpoints (ADVICE r1).
+    Samples the CSR arrays strided (full hash would re-read the whole graph,
+    defeating the cache's point)."""
+    import zlib
+
+    parts = []
+    for arr in (A.row_ptr, A.col_ind, A.val):
+        if arr is None:
+            continue
+        stride = max(1, arr.shape[0] // 65536)
+        # slice on device first: only the 65K sample crosses device→host
+        parts.append(np.ascontiguousarray(np.asarray(arr[::stride])).tobytes())
+    return zlib.crc32(b"".join(parts)) & 0x7FFFFFFF
+
+
 def partition_cached(A: Matrix, mesh: jax.sharding.Mesh, cache_base: str,
                      axis: str = "x") -> ShardedMatrix:
     """partition() with an npz checkpoint keyed on (graph, mesh size).
@@ -164,9 +182,11 @@ def partition_cached(A: Matrix, mesh: jax.sharding.Mesh, cache_base: str,
 
     P = mesh.shape[axis]
     cpath = shard_cache_path(cache_base, P)
+    fp = _content_fingerprint(A)
     if os.path.exists(cpath):
         z = np.load(cpath)
-        if int(z["nvals"]) == A.nvals and int(z["n"]) == A.nrows:
+        if (int(z["nvals"]) == A.nvals and int(z["n"]) == A.nrows
+                and int(z.get("fingerprint", -1)) == fp):
             sh2 = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec(axis, None))
 
@@ -183,7 +203,7 @@ def partition_cached(A: Matrix, mesh: jax.sharding.Mesh, cache_base: str,
     Ash = partition(A, mesh, axis=axis)
     try:
         np.savez(cpath, n=Ash.n, n_pad=Ash.n_pad, rows_per=Ash.rows_per,
-                 nvals=Ash.nvals,
+                 nvals=Ash.nvals, fingerprint=fp,
                  csr_ptr=np.asarray(Ash.csr_ptr), csr_ind=np.asarray(Ash.csr_ind),
                  csr_val=np.asarray(Ash.csr_val), csc_ptr=np.asarray(Ash.csc_ptr),
                  csc_ind=np.asarray(Ash.csc_ind), csc_val=np.asarray(Ash.csc_val))
