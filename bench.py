@@ -52,23 +52,32 @@ def run_stage(args, stage: str):
 
     if stage == "bfs":
         from graphblast_tpu.algorithms.bfs import _bfs_fused
+        from graphblast_tpu.ops.pallas.bilinear import plan_for
 
+        plan = plan_for(A, transpose=True, ones=True)
+        log(f"[bfs] pull kernel={'bilinear' if plan is not None else 'orpull'}")
         kw = dict(struconly=True,
                   edge_cap=min(A.nnz_pad,
                                max(1024, int(A.nnz_pad * 0.5) // 1024 * 1024)),
                   switchpoint=0.01, mode=Direction.PUSHPULL, sort_push=True,
                   max_niter=1000)
-        v, iters = _bfs_fused(A, jnp.asarray(int(sources[0]), INDEX_DTYPE), **kw)
-        jax.block_until_ready(v)
+        v, iters = _bfs_fused(A, jnp.asarray(int(sources[0]), INDEX_DTYPE),
+                              plan, **kw)
+        v_h = np.asarray(v)
+        # Graph500 convention: count only edges of the reached component
+        # (VERDICT r1: dividing total nnz by runtime inflated GTEPS)
+        reached_edges = int(deg[v_h != 0].sum())
         log(f"[bfs] compiled; iters={int(iters)} "
-            f"reached={int((np.asarray(v) != 0).sum())}")
+            f"reached={int((v_h != 0).sum())} reached_edges={reached_edges}")
         t0 = time.perf_counter()
         for s in sources:
-            v, _ = _bfs_fused(A, jnp.asarray(int(s), INDEX_DTYPE), **kw)
-        jax.block_until_ready(v)
+            v, _ = _bfs_fused(A, jnp.asarray(int(s), INDEX_DTYPE), plan, **kw)
+        np.asarray(jnp.ravel(v)[0])   # real D2H fetch closes the pipeline
         bfs_s = (time.perf_counter() - t0) / len(sources)
-        out["bfs_gteps"] = round(A.nvals / bfs_s / 1e9, 4)
-        log(f"[bfs] {bfs_s * 1e3:.2f} ms/run → {out['bfs_gteps']} GTEPS")
+        out["bfs_gteps"] = round(reached_edges / bfs_s / 1e9, 4)
+        out["bfs_gteps_total"] = round(A.nvals / bfs_s / 1e9, 4)
+        log(f"[bfs] {bfs_s * 1e3:.2f} ms/run → {out['bfs_gteps']} GTEPS "
+            f"(reached-component; total-edge {out['bfs_gteps_total']})")
 
     elif stage == "sssp":
         from graphblast_tpu.algorithms.sssp import _sssp_fused
@@ -80,14 +89,19 @@ def run_stage(args, stage: str):
                   switchpoint=0.01, mode=Direction.PUSHPULL, sort_push=True,
                   tiers=(8,), max_niter=1000)
         v, _ = _sssp_fused(A, jnp.asarray(int(sources[0]), INDEX_DTYPE), **kw)
-        jax.block_until_ready(v)
+        v_h = np.asarray(v)
+        # unreachable sentinel is FLT_MAX (sssp.hpp:26 convention)
+        reached_edges = int(deg[v_h < np.finfo(np.float32).max].sum())
         t0 = time.perf_counter()
         for s in sources:
             v, _ = _sssp_fused(A, jnp.asarray(int(s), INDEX_DTYPE), **kw)
-        jax.block_until_ready(v)
+        np.asarray(jnp.ravel(v)[0])
         sssp_s = (time.perf_counter() - t0) / len(sources)
-        out["sssp_gteps"] = round(A.nvals / sssp_s / 1e9, 4)
-        log(f"[sssp] {sssp_s * 1e3:.2f} ms/run → {out['sssp_gteps']} GTEPS")
+        # Graph500-style: edges of the reached component only
+        out["sssp_gteps"] = round(reached_edges / sssp_s / 1e9, 4)
+        out["sssp_gteps_total"] = round(A.nvals / sssp_s / 1e9, 4)
+        log(f"[sssp] {sssp_s * 1e3:.2f} ms/run → {out['sssp_gteps']} GTEPS "
+            f"(reached-component)")
 
     elif stage == "spmv":
         import functools

@@ -38,7 +38,7 @@ def _initial_frontier(n: int, source, dtype=jnp.float32,
 
 
 def _bfs_step(A: Matrix, v, f: DualFrontier, it, *, struconly, edge_cap,
-              switchpoint, mode, sort_push):
+              switchpoint, mode, sort_push, tiers=(64, 8), plan=None):
     """One BFS iteration: label + masked expand. Shared by both modes."""
     # assign(v, mask=f1, iter, GrB_ALL) — bfs.hpp:64-65
     v = jnp.where(f.dense != 0, jnp.asarray(it, v.dtype).astype(v.dtype), v)
@@ -47,15 +47,17 @@ def _bfs_step(A: Matrix, v, f: DualFrontier, it, *, struconly, edge_cap,
         A, f, LogicalOrAndSemiring, identity=jnp.zeros((), v.dtype),
         transpose=True, mask_dense=v, mask_scmp=True,
         structure_only=struconly, edge_cap=edge_cap, sort_push=sort_push,
-        switchpoint=switchpoint, mode=mode)
+        switchpoint=switchpoint, mode=mode, tier_divisors=tiers,
+        pull_plan=plan)
     succ = f2.snvals  # struconly reduce == nvals (reduce.hpp:71-75)
     return v, f2, succ, used_push
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "struconly", "edge_cap", "switchpoint", "mode", "sort_push", "max_niter"))
-def _bfs_fused(A: Matrix, source, *, struconly, edge_cap, switchpoint, mode,
-               sort_push, max_niter):
+    "struconly", "edge_cap", "switchpoint", "mode", "sort_push", "tiers",
+    "max_niter"))
+def _bfs_fused(A: Matrix, source, plan=None, *, struconly, edge_cap,
+               switchpoint, mode, sort_push, tiers=(64, 8), max_niter):
     n = A.nrows
     v0 = jnp.zeros((n,), jnp.float32)
     f0 = _initial_frontier(n, source, with_values=not struconly)
@@ -68,7 +70,8 @@ def _bfs_fused(A: Matrix, source, *, struconly, edge_cap, switchpoint, mode,
         it, v, f, _ = state
         v, f2, succ, _ = _bfs_step(A, v, f, it, struconly=struconly,
                                    edge_cap=edge_cap, switchpoint=switchpoint,
-                                   mode=mode, sort_push=sort_push)
+                                   mode=mode, sort_push=sort_push,
+                                   tiers=tiers, plan=plan)
         return it + 1, v, f2, succ
 
     it, v, f, succ = jax.lax.while_loop(
@@ -77,8 +80,21 @@ def _bfs_fused(A: Matrix, source, *, struconly, edge_cap, switchpoint, mode,
     return v, it - 1
 
 
+def bfs_pull_plan(A: Matrix, desc: Descriptor = BFS_TUNED):
+    """Bilinear plan for BFS's vxm pull (unit values — the dispatch's
+    count>0 path is only valid when traversal ignores edge weights, i.e.
+    struconly). None off-TPU or when the CSC host stash is missing."""
+    from ..ops.gather_dispatch import use_pallas
+
+    if not use_pallas() or not desc.structure_only:
+        return None
+    from ..ops.pallas.bilinear import plan_for
+
+    return plan_for(A, transpose=True, ones=True)
+
+
 _bfs_step_jit = jax.jit(_bfs_step, static_argnames=(
-    "struconly", "edge_cap", "switchpoint", "mode", "sort_push"))
+    "struconly", "edge_cap", "switchpoint", "mode", "sort_push", "tiers"))
 
 
 def bfs(A: Matrix, source: int, desc: Descriptor = BFS_TUNED,
@@ -87,10 +103,11 @@ def bfs(A: Matrix, source: int, desc: Descriptor = BFS_TUNED,
     levels convention per SimpleReferenceBfs test_bfs.hpp:19-22)."""
     kw = dict(struconly=desc.structure_only, edge_cap=edge_cap_for(A, desc),
               switchpoint=desc.switchpoint, mode=desc.mxv_mode,
-              sort_push=desc.sort_push)
+              sort_push=desc.sort_push, tiers=desc.push_tiers)
     n = A.nrows
+    plan = bfs_pull_plan(A, desc)
     if mode == "fused":
-        v, _ = _bfs_fused(A, source, max_niter=desc.max_niter, **kw)
+        v, _ = _bfs_fused(A, source, plan, max_niter=desc.max_niter, **kw)
         return dense_result(n, v)
 
     # stepped: host loop, CSV parity with the reference driver

@@ -38,11 +38,24 @@ def default_sparse_format() -> SparseFormat:
     }.get(name, SparseFormat.CSRCSC)
 
 
-def default_sort_push() -> bool:
-    """MERGE/TWC → sorted push; SIMPLE → scatter-combiner push.
-    Accepts the reference's numeric values: 0 SIMPLE, 1 TWC, 2 MERGE."""
+def default_load_balance():
+    """GRB_LOAD_BALANCE_MODE → LoadBalanceMode. Accepts the reference's
+    numeric values: 0 SIMPLE, 1 TWC, 2 MERGE (types.hpp:13-17)."""
+    from .types import LoadBalanceMode
+
     mode = os.environ.get("GRB_LOAD_BALANCE_MODE", "MERGE").upper()
-    return mode not in ("SIMPLE", "0")
+    return {
+        "0": LoadBalanceMode.SIMPLE, "SIMPLE": LoadBalanceMode.SIMPLE,
+        "1": LoadBalanceMode.TWC, "TWC": LoadBalanceMode.TWC,
+        "2": LoadBalanceMode.MERGE, "MERGE": LoadBalanceMode.MERGE,
+    }.get(mode, LoadBalanceMode.MERGE)
+
+
+def default_sort_push() -> bool:
+    """MERGE/TWC → sorted push; SIMPLE → scatter-combiner push."""
+    from .types import LoadBalanceMode
+
+    return default_load_balance() != LoadBalanceMode.SIMPLE
 
 
 def default_seed() -> int:

@@ -37,15 +37,31 @@ class Descriptor:
     #                                 round_up(memusage * nnz) (spmspv_inner.hpp:51-59)
 
     # --- push/pull kernel knobs (reference: descriptor.hpp:50-60) ---
-    earlyexit: bool = False        # pull-BFS row scan may stop at first hit
-    opreuse: bool = False          # pull reads the mask as the frontier
-    endbit: bool = False           # sort only ceil(log2 nrows) key bits
+    # ACCEPTED NO-OPS on TPU (kept for reference CLI/flag parity; the single
+    # authoritative list — grep "accepted-no-op" and tests/test_catalog.py):
+    #   earlyexit — the reference breaks a per-thread row scan at the first
+    #     frontier hit (kernels/spmv.hpp:10-59); TPU pulls are vectorized
+    #     prefix/bilinear passes with no scalar row scan to exit early.
+    #   opreuse — reads the mask as the frontier to skip a vector swap; the
+    #     TPU DualFrontier keeps both images live, nothing to reuse.
+    #   endbit — truncates CUB radix-sort passes to ceil(log2 n) bits
+    #     (spmspv_inner.hpp:223-282); XLA's sort is comparison-based, so key
+    #     width does not change its cost.
+    #   fusedmask — masks ARE always fused on TPU (XLA fuses the select into
+    #     the kernel epilogue); False has nothing cheaper to fall back to.
+    earlyexit: bool = False        # accepted-no-op (see above)
+    opreuse: bool = False          # accepted-no-op
+    endbit: bool = False           # accepted-no-op
+    fusedmask: bool = True         # accepted-no-op (always fused)
     sort_push: bool = None         # False = scatter-combine push (SIMPLE mode);
-                                   # default from GRB_LOAD_BALANCE_MODE (config.py)
-    fusedmask: bool = True         # fuse mask into the pull kernel
+                                   # default from `load_balance` below
     push_tiers: tuple = (64, 8)    # workspace tier divisors (cap/d each);
                                    # fewer tiers = smaller compiled program
-    load_balance: LoadBalanceMode = LoadBalanceMode.MERGE
+    load_balance: LoadBalanceMode = None  # MERGE → sort+segment push,
+    #                                SIMPLE → scatter-combine push, TWC →
+    #                                MERGE (unimplemented in the reference
+    #                                too, operations.hpp:167-168); default
+    #                                from GRB_LOAD_BALANCE_MODE (config.py)
 
     # --- algorithm loop controls (reference: descriptor.hpp:207-287 loadArgs) ---
     max_niter: int = 10000
@@ -60,10 +76,15 @@ class Descriptor:
     def __post_init__(self):
         # resolve env-var-backed defaults (config.py) once at construction so
         # the descriptor stays a plain hashable static jit argument
-        if self.sort_push is None:
-            from .config import default_sort_push
+        if self.load_balance is None:
+            from .config import default_load_balance
 
-            object.__setattr__(self, "sort_push", default_sort_push())
+            object.__setattr__(self, "load_balance", default_load_balance())
+        if self.sort_push is None:
+            # the load_balance field DRIVES the push kernel choice:
+            # SIMPLE → scatter-combiner, MERGE/TWC → sort + segmented reduce
+            object.__setattr__(self, "sort_push",
+                               self.load_balance != LoadBalanceMode.SIMPLE)
         if self.seed is None:
             from .config import default_seed
 

@@ -273,7 +273,9 @@ def apply(u: Vector, fn, mask: Optional[Vector] = None,
 def assign(w: Vector, value, mask: Optional[Vector] = None,
            desc: Descriptor = DEFAULT) -> Vector:
     """Masked constant assign over all indices (GrB_ALL). Dense w keeps old
-    values where the mask fails; sparse w sets-then-prunes (SSSP filter,
+    values where the mask fails — unless desc.output_replace (GrB_REPLACE,
+    types.hpp:60): then failed-mask entries are cleared to 0 ("no stored
+    value" in the dense encoding). Sparse w sets-then-prunes (SSSP filter,
     assign.hpp:107-245)."""
     _debug_op(desc, "assign", w=w, mask=mask)
     mask_d = _mask_dense(mask)
@@ -281,7 +283,8 @@ def assign(w: Vector, value, mask: Optional[Vector] = None,
         sind, sval, nv = ew.assign_constant_sparse(
             w.n, w.sind, w.sval, w.snvals, value, mask_d, desc.mask_scmp)
         return Vector(w.n, Storage.SPARSE, sind=sind, sval=sval, snvals=nv)
-    out = ew.assign_constant_dense(w.dense, value, mask_d, desc.mask_scmp)
+    base = jnp.zeros_like(w.dense) if desc.output_replace else w.dense
+    out = ew.assign_constant_dense(base, value, mask_d, desc.mask_scmp)
     return Vector(w.n, Storage.DENSE, dense=out)
 
 

@@ -111,6 +111,7 @@ def mxv_dual(
     mode=None,
     postprocess=None,
     tier_divisors: tuple = (64, 8),
+    pull_plan=None,
 ):
     """One direction-optimized y = A ⊗ f (or fᵀ ⊗ A when transpose).
 
@@ -162,6 +163,26 @@ def mxv_dual(
     def do_pull(_):
         from .gather_dispatch import use_pallas
 
+        if pull_plan is not None:
+            # tiled one-hot bilinear kernel (ops/pallas/bilinear.py): no
+            # sort, no boundary gather. Serves Plus·× value pulls directly
+            # and or-and struconly pulls as neighbor counts (count > 0 ==
+            # the fused-or result, kernels/spmv.hpp:10-59).
+            from .pallas.bilinear import spmv_bilinear
+            from .spmv import mask_pass
+
+            ident = semiring.identity(f.dense.dtype)
+            if structure_only and semiring.name == "LogicalOrAnd":
+                cnt = spmv_bilinear(pull_plan, f.dense)
+                y = (cnt > 0).astype(f.dense.dtype)
+            elif not structure_only and semiring.name == "PlusMultiplies":
+                y = spmv_bilinear(pull_plan, f.dense).astype(f.dense.dtype)
+            else:
+                y = None
+            if y is not None:
+                if mask_dense is not None:
+                    y = jnp.where(mask_pass(mask_dense, mask_scmp), y, ident)
+                return y
         if not structure_only and alt[0] is not None and use_pallas():
             # orientation: gather ids are the expanded major ids of the
             # *other* representation (ascending), keys are its minor ids

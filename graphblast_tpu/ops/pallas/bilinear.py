@@ -196,10 +196,20 @@ def _kernel(c_off_ref, r_off_ref, x_ref, loc_ref, val_ref, y_ref):
         y_ref[pl.ds(r0, W_ROWS), :] += M
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
-                  interpret: bool = False) -> jnp.ndarray:
-    """y[0:n_out] = Σ products routed by the plan; Plus monoid only."""
+                  interpret: Optional[bool] = None) -> jnp.ndarray:
+    """y[0:n_out] = Σ products routed by the plan; Plus monoid only.
+
+    interpret defaults to True off-TPU so the same call sites work (slowly)
+    under the CPU test backend."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _spmv_bilinear(plan, x, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
+                   interpret: bool = False) -> jnp.ndarray:
     n_in_pad, n_out_pad = plan.n_in_pad, plan.n_out_pad
     x_p = jnp.pad(x.astype(jnp.float32), (0, n_in_pad - x.shape[0]))
     x2d = x_p.reshape(n_in_pad // LANE, LANE)
@@ -239,14 +249,16 @@ def bilinear_available(n_out: int, n_in: int,
 
 
 def plan_for(A, transpose: bool = False,
-             host_val: Optional[np.ndarray] = None) -> Optional["BilinearPlan"]:
+             host_val: Optional[np.ndarray] = None,
+             ones: bool = False) -> Optional["BilinearPlan"]:
     """Cached plan for one pull orientation of Matrix `A`.
 
     transpose=False → mxv pull (y = A·x, CSR); True → vxm pull (y = Aᵀ·x,
     CSC). Returns None when the needed orientation has no host-side stash
     (matrices rebuilt inside jit) or the tables exceed VMEM. `host_val`
     overrides the stored values (e.g. PR's α/outdegree scaling) — such plans
-    are NOT cached."""
+    are NOT cached. `ones=True` forces unit values (struconly traversals:
+    y then counts frontier neighbors regardless of edge weights)."""
     n_out, n_in = (A.ncols, A.nrows) if transpose else (A.nrows, A.ncols)
     if not bilinear_available(n_out, n_in):
         return None
@@ -254,10 +266,12 @@ def plan_for(A, transpose: bool = False,
     if host is None:
         return None
     cache = getattr(A, "_bilinear_plans", None)
-    key = ("csc" if transpose else "csr")
+    key = ("csc" if transpose else "csr") + ("/ones" if ones else "")
     if host_val is None and cache is not None and key in cache:
         return cache[key]
     ptr, ind, val = host
+    if ones:
+        val = None
     plan = build_plan(ptr, ind, val if host_val is None else host_val,
                       n_out, n_in)
     if host_val is None:

@@ -153,6 +153,55 @@ def test_spmv_bilinear_struconly(rng):
     np.testing.assert_allclose(y, yref, atol=1e-3)
 
 
+def test_bfs_with_bilinear_pull_plan(rng):
+    """Integrated path: BFS fused loop with the bilinear pull plan threaded
+    through mxv_dual must match plain BFS (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from graphblast_tpu import Matrix
+    from graphblast_tpu.algorithms.bfs import _bfs_fused
+    from graphblast_tpu.algorithms.reference import bfs_cpu
+    from graphblast_tpu.ops.pallas.bilinear import plan_for
+    from graphblast_tpu.types import Direction, INDEX_DTYPE
+
+    n, m = 400, 3000
+    rows = rng.integers(0, n, m)
+    cols = rng.integers(0, n, m)
+    A = Matrix.from_coo(rows, cols, np.ones(m), n, n)
+    plan = plan_for(A, transpose=True, ones=True)
+    assert plan is not None
+    kw = dict(struconly=True, edge_cap=A.nnz_pad, switchpoint=0.01,
+              mode=Direction.PUSHPULL, sort_push=True, max_niter=100)
+    src = jnp.asarray(0, INDEX_DTYPE)
+    v_plan, _ = _bfs_fused(A, src, plan, **kw)
+    ref = bfs_cpu(A, 0)
+    np.testing.assert_array_equal(np.asarray(v_plan), ref)
+
+
+def test_pr_with_bilinear_plan(rng):
+    """PR fused loop with a host-scaled bilinear plan matches the numpy
+    reference (the plan carries the α/outdeg scaling)."""
+    from graphblast_tpu import Matrix
+    from graphblast_tpu.algorithms import reference
+    from graphblast_tpu.algorithms.pr import _pr_fused, prepare_pr_plan
+    from graphblast_tpu.ops import gather_dispatch
+
+    n, m = 300, 2500
+    rows = rng.integers(0, n, m)
+    cols = rng.integers(0, n, m)
+    A = Matrix.from_coo(rows, cols, np.ones(m), n, n)
+    old = gather_dispatch._USE_PALLAS
+    gather_dispatch._USE_PALLAS = True   # force the plan path on CPU
+    try:
+        plan = prepare_pr_plan(A, 0.85)
+    finally:
+        gather_dispatch._USE_PALLAS = old
+    assert plan is not None
+    p, _, _ = _pr_fused(A, plan, alpha=0.85, eps=1e-10, max_niter=150)
+    want = reference.pr_cpu(A, alpha=0.85, eps=1e-12, max_niter=200)
+    np.testing.assert_allclose(np.asarray(p), want, atol=2e-5)
+
+
 def test_plan_for_cache(rng):
     """plan_for caches per orientation on the Matrix object and reuses the
     host stash (no device fetch)."""
