@@ -92,6 +92,91 @@ def dist_vxm_push(csr_ptr, csr_ind, csr_val, f_ind_local, f_val_local,
     return w_block
 
 
+def dist_vxm_push_sparse(csr_ptr, csr_ind, csr_val, f_ind_local, f_val_local,
+                         f_nvals_local, semiring: Semiring, P: int,
+                         rows_per: int, edge_cap: int, pair_cap: int,
+                         mask_block=None, mask_scmp=False,
+                         structure_only=False, axis: str = AXIS):
+    """Push with SPARSE owner-bucketed exchange (SURVEY.md §2.8 blueprint;
+    replaces the dense (n_pad,) partial of dist_vxm_push whose ICI volume is
+    O(n) regardless of frontier size — VERDICT r1 missing-#3).
+
+    Pipeline (all inside shard_map):
+      1. expand the local frontier through the local CSR block → (global
+         dst, ⊗-product) pairs;
+      2. one unstable sort by owner block groups each destination device's
+         pairs contiguously — the TPU analog of bucket scatter;
+      3. slice P fixed-capacity (pair_cap) blocks and all_to_all them —
+         exchange volume is P·pair_cap·8B, independent of n;
+      4. sort+segment-⊕ the received pairs into the local block
+         (deterministic, same machinery as the single-chip push).
+
+    If any owner's bucket overflows pair_cap the result falls back to the
+    dense-partial exchange via lax.cond (both paths compile; one executes —
+    the memusage-style bound-with-fallback idiom, spmspv_inner.hpp:51-59).
+    """
+    from ..ops.spmspv import expand_frontier
+    from ..ops.segops import segmented_scan
+
+    out_dtype = (f_val_local.dtype if f_val_local is not None
+                 else jnp.float32)
+    ident = semiring.identity(out_dtype)
+    dst, mv, valid, _ = expand_frontier(
+        csr_ptr, csr_ind, csr_val, f_ind_local, f_val_local, f_nvals_local,
+        edge_cap, structure_only, semiring, out_dtype)
+
+    owner = jnp.where(valid, dst // rows_per, P).astype(INDEX_DTYPE)
+    dst_local = (dst - owner * rows_per).astype(INDEX_DTYPE)
+    ow_s, dl_s, mv_s = jax.lax.sort((owner, dst_local, mv), num_keys=1,
+                                    is_stable=False)
+    # per-owner group boundaries on the sorted owners (P+1 tiny queries)
+    bounds = jnp.searchsorted(ow_s, jnp.arange(P + 1, dtype=INDEX_DTYPE))
+    counts = bounds[1:] - bounds[:-1]
+    overflow = jnp.any(counts > pair_cap)
+
+    def sparse_path(_):
+        def slice_k(k):
+            s = bounds[k]
+            idx_k = jax.lax.dynamic_slice(dl_s, (s,), (pair_cap,))
+            val_k = jax.lax.dynamic_slice(mv_s, (s,), (pair_cap,))
+            live = jnp.arange(pair_cap, dtype=INDEX_DTYPE) < counts[k]
+            return (jnp.where(live, idx_k, rows_per),
+                    jnp.where(live, val_k, ident))
+
+        idx_out, val_out = jax.lax.map(slice_k,
+                                       jnp.arange(P, dtype=INDEX_DTYPE))
+        idx_in = jax.lax.all_to_all(idx_out, axis, 0, 0, tiled=False)
+        val_in = jax.lax.all_to_all(val_out, axis, 0, 0, tiled=False)
+        # combine the ≤ P·pair_cap received pairs deterministically
+        tgt = jnp.where(idx_in.reshape(-1) < rows_per,
+                        idx_in.reshape(-1), rows_per)
+        k2, v2 = jax.lax.sort((tgt, val_in.reshape(-1)), num_keys=1,
+                              is_stable=False)
+        heads = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 k2[1:] != k2[:-1]])
+        scanned = segmented_scan(v2, heads, semiring.add)
+        tails = jnp.concatenate([k2[1:] != k2[:-1],
+                                 jnp.ones((1,), jnp.bool_)])
+        w = (jnp.full((rows_per,), ident, out_dtype)
+             .at[jnp.where(tails, k2, rows_per)].set(scanned, mode="drop"))
+        return w
+
+    def dense_path(_):
+        n_pad = P * rows_per
+        y = spmspv_push(csr_ptr, csr_ind, csr_val, f_ind_local, f_val_local,
+                        f_nvals_local, semiring, n_pad, edge_cap,
+                        structure_only=structure_only)
+        return _combine_partials(y, semiring, P, rows_per, axis)
+
+    # NOTE: collectives must execute on every device — overflow is a global
+    # predicate (pmax) so all devices take the same branch
+    overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis) > 0
+    w_block = jax.lax.cond(overflow, dense_path, sparse_path, None)
+    if mask_block is not None:
+        w_block = jnp.where(mask_pass(mask_block, mask_scmp), w_block, ident)
+    return w_block
+
+
 def dist_reduce(x_block, monoid, axis: str = AXIS):
     """vector → scalar across shards: local reduce + collective."""
     from ..ops.segops import reduce_all
