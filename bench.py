@@ -52,10 +52,10 @@ def run_stage(args, stage: str):
 
     if stage == "bfs":
         from graphblast_tpu.algorithms.bfs import _bfs_fused
-        from graphblast_tpu.ops.pallas.bilinear import plan_for
+        from graphblast_tpu.ops.pallas.bilinear import plan_for_bitmap
 
-        plan = plan_for(A, transpose=True, ones=True)
-        log(f"[bfs] pull kernel={'bilinear' if plan is not None else 'orpull'}")
+        plan = plan_for_bitmap(A, transpose=True)
+        log(f"[bfs] pull kernel={'bitmap-bilinear' if plan is not None else 'orpull'}")
         kw = dict(struconly=True,
                   edge_cap=min(A.nnz_pad,
                                max(1024, int(A.nnz_pad * 0.5) // 1024 * 1024)),

@@ -88,9 +88,9 @@ def bfs_pull_plan(A: Matrix, desc: Descriptor = BFS_TUNED):
 
     if not use_pallas() or not desc.structure_only:
         return None
-    from ..ops.pallas.bilinear import plan_for
+    from ..ops.pallas.bilinear import plan_for_bitmap
 
-    return plan_for(A, transpose=True, ones=True)
+    return plan_for_bitmap(A, transpose=True)
 
 
 _bfs_step_jit = jax.jit(_bfs_step, static_argnames=(

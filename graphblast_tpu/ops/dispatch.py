@@ -168,12 +168,19 @@ def mxv_dual(
             # sort, no boundary gather. Serves Plus·× value pulls directly
             # and or-and struconly pulls as neighbor counts (count > 0 ==
             # the fused-or result, kernels/spmv.hpp:10-59).
-            from .pallas.bilinear import spmv_bilinear
+            from .pallas.bilinear import (BitmapPlan, spmv_bilinear,
+                                          spmv_bilinear_bitmap)
             from .spmv import mask_pass
 
             ident = semiring.identity(f.dense.dtype)
             if structure_only and semiring.name == "LogicalOrAnd":
-                cnt = spmv_bilinear(pull_plan, f.dense)
+                if isinstance(pull_plan, BitmapPlan):
+                    from .pallas.orpull import pack_bitmap
+
+                    cnt = spmv_bilinear_bitmap(pull_plan,
+                                               pack_bitmap(f.dense))
+                else:
+                    cnt = spmv_bilinear(pull_plan, f.dense)
                 y = (cnt > 0).astype(f.dense.dtype)
             elif not structure_only and semiring.name == "PlusMultiplies":
                 y = spmv_bilinear(pull_plan, f.dense).astype(f.dense.dtype)

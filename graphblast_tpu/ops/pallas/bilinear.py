@@ -248,6 +248,220 @@ def bilinear_available(n_out: int, n_in: int,
     return need <= vmem_budget
 
 
+# ---------------------------------------------------------------------------
+# Bitmap-window variant: struconly pulls at ANY scale
+# ---------------------------------------------------------------------------
+#
+# The f32 kernel above needs x and y resident in VMEM (n ≤ ~1.5M). For
+# boolean traversals the frontier packs 32x into int32 words, so a 32-row
+# window covers 131072 columns and the whole bitmap fits VMEM even at
+# scale 25 (n/8 bytes ≈ 4 MB). y is emitted per 4096-row panel through the
+# output BlockSpec (prefetched panel index), so it never has to fit VMEM
+# either. Tiles are (4096 rows × 131072 cols): 32x fewer than the f32
+# kernel's, which also keeps the per-tile padding tolerable at scale 22+.
+
+WB_BITS = 17                 # 131072-column windows (32 word-rows)
+WB = 1 << WB_BITS
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BitmapPlan:
+    """Static tiling for spmv_bilinear_bitmap. loc packs
+    (valid<<29 | row_loc<<17 | col_loc); c_blk/rp per sub-block/chunk."""
+
+    n_out: int
+    n_in: int
+    n_out_pad: int           # round_up(n_out, W)   (4096-row panels)
+    n_wrows: int             # bitmap word-rows incl. zero padding
+    m_pad: int
+    loc: jnp.ndarray
+    c_blk: jnp.ndarray       # (nsb,) word-row offset of each sub-block's window
+    rp: jnp.ndarray          # (n_chunks,) row-panel index per chunk
+    first: jnp.ndarray       # (n_chunks,) 1 iff first chunk of its panel
+    visited: jnp.ndarray     # (n_out_pad//128,) 1.0 iff the row's panel has
+    #                          edges — panels the grid never visits hold
+    #                          undefined output memory and must be zeroed
+
+    def tree_flatten(self):
+        return ((self.loc, self.c_blk, self.rp, self.first, self.visited),
+                (self.n_out, self.n_in, self.n_out_pad, self.n_wrows,
+                 self.m_pad))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*aux, *leaves)
+
+
+def build_plan_bitmap(ptr, ind, n_out: int, n_in: int) -> BitmapPlan:
+    """Host tiling pass for the bitmap kernel (struconly: values ignored)."""
+    ptr_np = np.asarray(ptr, dtype=np.int64)
+    m = int(ptr_np[-1])
+    n_out_pad = max(round_up(n_out, W), W)
+    n_cb = max(round_up(n_in, WB), WB) >> WB_BITS
+    n_wrows = n_cb * (WB // 32 // LANE)          # 32 word-rows per window
+    chunk = SUB * CHUNK_SUBS
+
+    if m == 0:
+        nch = 1
+        return BitmapPlan(
+            n_out, n_in, n_out_pad, n_wrows, chunk,
+            jnp.zeros((chunk,), jnp.int32),
+            jnp.zeros((chunk // SUB,), jnp.int32),
+            jnp.zeros((nch,), jnp.int32), jnp.ones((nch,), jnp.int32),
+            jnp.zeros((n_out_pad // LANE,), jnp.float32))
+
+    rows = np.repeat(np.arange(n_out, dtype=np.int64), np.diff(ptr_np))
+    cols = np.asarray(ind, dtype=np.int64)[:m]
+
+    rp_e = rows >> W_BITS
+    tile = rp_e * n_cb + (cols >> WB_BITS)
+    order = np.argsort(tile, kind="stable")
+    t_sorted = tile[order]
+
+    head = np.r_[True, t_sorted[1:] != t_sorted[:-1]]
+    starts = np.flatnonzero(head)
+    counts = np.diff(np.r_[starts, m])
+    padded = ((counts + SUB - 1) // SUB) * SUB
+
+    # additionally pad each ROW PANEL's stream to a chunk multiple so every
+    # chunk maps to exactly one output panel
+    tile_rp = t_sorted[starts] // n_cb
+    rp_head = np.r_[True, tile_rp[1:] != tile_rp[:-1]]
+    rp_group = np.cumsum(rp_head) - 1
+    rp_tot = np.bincount(rp_group, weights=padded).astype(np.int64)
+    rp_tot_pad = ((rp_tot + chunk - 1) // chunk) * chunk
+    rp_base = np.r_[0, np.cumsum(rp_tot_pad)]
+    # tile start offsets inside the padded stream
+    within_panel = np.concatenate(
+        [np.r_[0, np.cumsum(padded[rp_group == g])[:-1]]
+         for g in range(len(rp_tot))]) if len(rp_tot) else np.zeros(0)
+    tile_out = rp_base[rp_group] + within_panel
+    total = int(rp_base[-1])
+    m_pad = max(total, chunk)
+
+    within = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
+    pos = np.repeat(tile_out.astype(np.int64), counts) + within
+
+    r_loc = (rows[order] & (W - 1)).astype(np.int32)
+    c_loc = (cols[order] & (WB - 1)).astype(np.int32)
+    loc = np.zeros(m_pad, np.int32)
+    loc[pos] = (1 << 29) | (r_loc << WB_BITS) | c_loc
+
+    # per-sub-block window offsets
+    nsb = m_pad // SUB
+    sb_cb = np.zeros(nsb, np.int64)
+    sb_fill = np.repeat(t_sorted[starts] % n_cb, padded // SUB)
+    # place per-tile runs at their (possibly panel-padded) positions
+    sb_pos = np.repeat(tile_out // SUB, padded // SUB) + \
+        np.concatenate([np.arange(k) for k in padded // SUB]) \
+        if len(padded) else np.zeros(0, np.int64)
+    sb_cb[sb_pos.astype(np.int64)] = sb_fill
+    c_blk = (sb_cb * (WB // 32 // LANE)).astype(np.int32)
+
+    n_chunks = m_pad // chunk
+    rp_c = np.zeros(n_chunks, np.int64)
+    ch_of_rp = rp_tot_pad // chunk
+    rp_ids = np.repeat(tile_rp[rp_head], ch_of_rp)
+    rp_c[: len(rp_ids)] = rp_ids
+    first = np.r_[1, (rp_c[1:] != rp_c[:-1]).astype(np.int64)]
+    pmask = np.zeros(n_out_pad >> W_BITS, np.float32)
+    pmask[np.unique(tile_rp)] = 1.0
+    visited = np.repeat(pmask, W // LANE)
+    return BitmapPlan(n_out, n_in, n_out_pad, n_wrows, m_pad,
+                      jnp.asarray(loc), jnp.asarray(c_blk),
+                      jnp.asarray(rp_c, jnp.int32).reshape(-1),
+                      jnp.asarray(first, jnp.int32).reshape(-1),
+                      jnp.asarray(visited))
+
+
+def _kernel_bitmap(c_blk_ref, rp_ref, first_ref, w_ref, loc_ref, y_ref):
+    c = pl.program_id(0)
+
+    @pl.when(first_ref[c] == 1)
+    def _():
+        y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
+
+    for sb in range(CHUNK_SUBS):
+        base = c * CHUNK_SUBS + sb
+        c0 = c_blk_ref[base]
+        lv = loc_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
+
+        cl = lv & (WB - 1)
+        whi = cl >> 12               # word-row within the 32-row window
+        wlo = (cl >> 5) & (LANE - 1)
+        bitpos = cl & 31
+
+        wg = jnp.zeros(cl.shape, jnp.int32)
+        for s in range(32):
+            row = w_ref[pl.ds(c0 + s, 1), :]
+            cand = jnp.take_along_axis(
+                jnp.broadcast_to(row, wlo.shape), wlo, axis=1)
+            wg = jnp.where(whi == s, cand, wg)
+        bit = jax.lax.shift_right_logical(wg, bitpos) & 1
+        valid = jax.lax.shift_right_logical(lv, 29) & 1
+        p = (bit & valid).astype(y_ref.dtype)
+
+        rl = (lv >> WB_BITS) & (W - 1)
+        rhi = (rl >> 7).reshape(1, SUB)
+        rlo = (rl & (LANE - 1)).reshape(1, SUB)
+        pf = p.reshape(1, SUB)
+
+        ia = jax.lax.broadcasted_iota(jnp.int32, (W_ROWS, SUB), 0)
+        A = jnp.where(jnp.broadcast_to(rhi, (W_ROWS, SUB)) == ia,
+                      jnp.broadcast_to(pf, (W_ROWS, SUB)), 0.0)
+        ib = jax.lax.broadcasted_iota(jnp.int32, (LANE, SUB), 0)
+        Bt = (jnp.broadcast_to(rlo, (LANE, SUB)) == ib).astype(y_ref.dtype)
+        M = jax.lax.dot_general(A, Bt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        y_ref[:] += M
+
+
+def spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """y[i] = count of plan edges (i,j) whose bit j is set in `words`
+    (the packed frontier bitmap, ops/pallas/orpull.pack_bitmap). (y > 0) is
+    the struconly or-pull result at any graph scale."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _spmv_bilinear_bitmap(plan, words, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    nw = words.shape[0]
+    w2d = jnp.pad(words, (0, plan.n_wrows * LANE - nw)).reshape(
+        plan.n_wrows, LANE)
+
+    chunk_rows = CHUNK_SUBS * SUB_ROWS
+    n_chunks = plan.m_pad // (CHUNK_SUBS * SUB)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bitmap table
+            pl.BlockSpec((chunk_rows, LANE), lambda c, cb, rp, fi: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((W_ROWS, LANE),
+                               lambda c, cb, rp, fi: (rp[c], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    y2d = pl.pallas_call(
+        _kernel_bitmap,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
+                                       jnp.float32),
+        interpret=interpret,
+    )(plan.c_blk, plan.rp, plan.first, w2d, plan.loc.reshape(-1, LANE))
+    # unvisited panels hold garbage (possibly NaN — where, not multiply)
+    y2d = jnp.where(plan.visited[:, None] > 0, y2d, 0.0)
+    return y2d.reshape(-1)[:plan.n_out]
+
+
 def plan_for(A, transpose: bool = False,
              host_val: Optional[np.ndarray] = None,
              ones: bool = False) -> Optional["BilinearPlan"]:
@@ -279,4 +493,24 @@ def plan_for(A, transpose: bool = False,
             cache = {}
             object.__setattr__(A, "_bilinear_plans", cache)
         cache[key] = plan
+    return plan
+
+
+def plan_for_bitmap(A, transpose: bool = False) -> Optional["BitmapPlan"]:
+    """Cached BitmapPlan for struconly pulls — no VMEM size gate (the packed
+    bitmap is n/8 bytes; y streams out per row panel)."""
+    n_out, n_in = (A.ncols, A.nrows) if transpose else (A.nrows, A.ncols)
+    host = getattr(A, "_host_csc" if transpose else "_host_csr", None)
+    if host is None:
+        return None
+    cache = getattr(A, "_bilinear_plans", None)
+    key = ("csc" if transpose else "csr") + "/bitmap"
+    if cache is not None and key in cache:
+        return cache[key]
+    ptr, ind, _ = host
+    plan = build_plan_bitmap(ptr, ind, n_out, n_in)
+    if cache is None:
+        cache = {}
+        object.__setattr__(A, "_bilinear_plans", cache)
+    cache[key] = plan
     return plan

@@ -153,6 +153,53 @@ def test_spmv_bilinear_struconly(rng):
     np.testing.assert_allclose(y, yref, atol=1e-3)
 
 
+@pytest.mark.parametrize("n_out,n_in,m", [
+    (500, 700, 3000),
+    (4096, 131072, 20000),    # dims exactly one (row, col) window
+    (20000, 9000, 1),         # unvisited output panels must read 0
+    (100, 50, 0),
+])
+def test_bitmap_bilinear(rng, n_out, n_in, m):
+    from graphblast_tpu.ops.pallas.bilinear import (build_plan_bitmap,
+                                                    spmv_bilinear_bitmap)
+    from graphblast_tpu.ops.pallas.orpull import pack_bitmap
+
+    rows = np.sort(rng.integers(0, n_out, m))
+    cols = rng.integers(0, n_in, m)
+    ptr = np.zeros(n_out + 1, np.int64)
+    np.add.at(ptr, rows + 1, 1)
+    ptr = np.cumsum(ptr)
+    plan = build_plan_bitmap(ptr, cols, n_out, n_in)
+    f = (rng.random(n_in) < 0.2).astype(np.float32)
+    y = np.asarray(spmv_bilinear_bitmap(plan, pack_bitmap(jnp.asarray(f)),
+                                        interpret=True))
+    yref = np.zeros(n_out, np.float64)
+    np.add.at(yref, rows, f[cols])
+    np.testing.assert_array_equal(y, yref)
+
+
+def test_bfs_with_bitmap_plan(rng):
+    """BFS fused loop with the bitmap pull plan matches the golden."""
+    import jax.numpy as jnp
+
+    from graphblast_tpu import Matrix
+    from graphblast_tpu.algorithms.bfs import _bfs_fused
+    from graphblast_tpu.algorithms.reference import bfs_cpu
+    from graphblast_tpu.ops.pallas.bilinear import plan_for_bitmap
+    from graphblast_tpu.types import Direction, INDEX_DTYPE
+
+    n, m = 3000, 25000
+    rows = rng.integers(0, n, m)
+    cols = rng.integers(0, n, m)
+    A = Matrix.from_coo(rows, cols, np.ones(m), n, n)
+    plan = plan_for_bitmap(A, transpose=True)
+    assert plan is not None
+    kw = dict(struconly=True, edge_cap=A.nnz_pad, switchpoint=0.01,
+              mode=Direction.PUSHPULL, sort_push=True, max_niter=100)
+    v, _ = _bfs_fused(A, jnp.asarray(0, INDEX_DTYPE), plan, **kw)
+    np.testing.assert_array_equal(np.asarray(v), bfs_cpu(A, 0))
+
+
 def test_bfs_with_bilinear_pull_plan(rng):
     """Integrated path: BFS fused loop with the bilinear pull plan threaded
     through mxv_dual must match plain BFS (interpret mode on CPU)."""
