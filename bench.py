@@ -61,6 +61,8 @@ def run_stage(args, stage: str):
                                max(1024, int(A.nnz_pad * 0.5) // 1024 * 1024)),
                   switchpoint=0.01, mode=Direction.PUSHPULL, sort_push=True,
                   max_niter=1000)
+        import functools
+
         v, iters = _bfs_fused(A, jnp.asarray(int(sources[0]), INDEX_DTYPE),
                               plan, **kw)
         v_h = np.asarray(v)
@@ -69,11 +71,41 @@ def run_stage(args, stage: str):
         reached_edges = int(deg[v_h != 0].sum())
         log(f"[bfs] compiled; iters={int(iters)} "
             f"reached={int((v_h != 0).sum())} reached_edges={reached_edges}")
-        t0 = time.perf_counter()
-        for s in sources:
-            v, _ = _bfs_fused(A, jnp.asarray(int(s), INDEX_DTYPE), plan, **kw)
-        np.asarray(jnp.ravel(v)[0])   # real D2H fetch closes the pipeline
-        bfs_s = (time.perf_counter() - t0) / len(sources)
+
+        if A.nrows <= 2_000_000:
+            # all sources inside ONE jit (per-dispatch H2D round trips over
+            # the relay cost ~26 ms each and dwarfed the BFS itself);
+            # marginal two-count diff cancels the remaining fixed overhead
+            @jax.jit
+            def run_all(srcs):
+                def body(c, s):
+                    v, _ = _bfs_fused(A, s, plan, **kw)
+                    return c + v[0] * 1e-30, ()
+                c, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
+                                    srcs)
+                return c
+
+            s_few = jnp.asarray(sources[:2].astype(np.int32))
+            s_all = jnp.asarray(
+                np.tile(sources, 2)[: 2 + len(sources)].astype(np.int32))
+            np.asarray(run_all(s_few))
+            np.asarray(run_all(s_all))
+            ts = []
+            for s in (s_few, s_all, s_few, s_all):
+                t0 = time.perf_counter()
+                np.asarray(run_all(s))
+                ts.append(time.perf_counter() - t0)
+            bfs_s = ((ts[1] + ts[3]) - (ts[0] + ts[2])) / (2 * len(sources))
+        else:
+            # big graphs: the scan-wrapped double compile overloads the
+            # remote compiler; per-dispatch overhead (~26 ms) is noise at
+            # these run times, so reuse the already-compiled single run
+            t0 = time.perf_counter()
+            for s in sources:
+                v, _ = _bfs_fused(A, jnp.asarray(int(s), INDEX_DTYPE),
+                                  plan, **kw)
+                np.asarray(jnp.ravel(v)[0])
+            bfs_s = (time.perf_counter() - t0) / len(sources)
         out["bfs_gteps"] = round(reached_edges / bfs_s / 1e9, 4)
         out["bfs_gteps_total"] = round(A.nvals / bfs_s / 1e9, 4)
         log(f"[bfs] {bfs_s * 1e3:.2f} ms/run → {out['bfs_gteps']} GTEPS "
@@ -88,15 +120,32 @@ def run_stage(args, stage: str):
                                max(1024, int(A.nnz_pad * 0.5) // 1024 * 1024)),
                   switchpoint=0.01, mode=Direction.PUSHPULL, sort_push=True,
                   tiers=(8,), max_niter=1000)
+        import functools
+
         v, _ = _sssp_fused(A, jnp.asarray(int(sources[0]), INDEX_DTYPE), **kw)
         v_h = np.asarray(v)
         # unreachable sentinel is FLT_MAX (sssp.hpp:26 convention)
         reached_edges = int(deg[v_h < np.finfo(np.float32).max].sum())
-        t0 = time.perf_counter()
-        for s in sources:
-            v, _ = _sssp_fused(A, jnp.asarray(int(s), INDEX_DTYPE), **kw)
-        np.asarray(jnp.ravel(v)[0])
-        sssp_s = (time.perf_counter() - t0) / len(sources)
+
+        @jax.jit
+        def run_all(srcs):
+            def body(c, s):
+                v, _ = _sssp_fused(A, s, **kw)
+                return c + v[0] * 1e-30, ()
+            c, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), srcs)
+            return c
+
+        s_few = jnp.asarray(sources[:2].astype(np.int32))
+        s_all = jnp.asarray(
+            np.tile(sources, 2)[: 2 + len(sources)].astype(np.int32))
+        np.asarray(run_all(s_few))
+        np.asarray(run_all(s_all))
+        ts = []
+        for s in (s_few, s_all, s_few, s_all):
+            t0 = time.perf_counter()
+            np.asarray(run_all(s))
+            ts.append(time.perf_counter() - t0)
+        sssp_s = ((ts[1] + ts[3]) - (ts[0] + ts[2])) / (2 * len(sources))
         # Graph500-style: edges of the reached component only
         out["sssp_gteps"] = round(reached_edges / sssp_s / 1e9, 4)
         out["sssp_gteps_total"] = round(A.nvals / sssp_s / 1e9, 4)
@@ -204,16 +253,28 @@ def main():
         return run_stage(args, args.stage)
 
     merged = {}
-    for stage in ("bfs", "sssp", "spmv", "pr", "tc"):
-        stage_scale = min(args.scale, 15) if stage == "tc" else args.scale
+    for stage in ("bfs", "sssp", "spmv", "pr", "tc", "bfs22"):
+        stage_scale = args.scale
+        real_stage = stage
+        nsources = args.sources
+        if stage == "tc":
+            stage_scale = min(args.scale, 15)
+        elif stage == "bfs22":
+            # scale-out headline (VERDICT r1 next-#8): BFS at the largest
+            # scale that fits a single chip's HBM comfortably
+            if args.scale >= 22:
+                continue   # main scale already covers it
+            real_stage, stage_scale, nsources = "bfs", 22, 2
         cmd = [sys.executable, "-u", os.path.abspath(__file__),
-               "--stage", stage, "--scale", str(stage_scale),
+               "--stage", real_stage, "--scale", str(stage_scale),
                "--edgefactor", str(args.edgefactor),
-               "--sources", str(args.sources),
+               "--sources", str(nsources),
                "--spmv-iters", str(args.spmv_iters)]
-        # tc pays a ~15-min eager-mode compile bill on the remote backend;
-        # give it headroom without holding the earlier stages hostage
-        tmo = STAGE_TIMEOUT * 2 if stage == "tc" else STAGE_TIMEOUT
+        # tc pays a ~15-min compile bill on the remote backend, bfs22 a
+        # ~5-min graph build (first run) plus a large compile; give them
+        # headroom without holding the earlier stages hostage
+        tmo = STAGE_TIMEOUT * 2 if stage == "tc" else (
+            STAGE_TIMEOUT * 3 if stage == "bfs22" else STAGE_TIMEOUT)
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=tmo)
@@ -225,6 +286,9 @@ def main():
             if stage == "tc":
                 # tc runs on a capped scale — don't clobber n/nnz/device
                 vals = {k: v for k, v in vals.items() if k.startswith("tc_")}
+            elif stage == "bfs22":
+                vals = {f"{k}_rmat22": v for k, v in vals.items()
+                        if k.startswith("bfs_")}
             merged.update(vals)
         except subprocess.TimeoutExpired:
             print(f"[{stage}] stage timed out after {tmo:.0f}s — skipped",
@@ -240,8 +304,10 @@ def main():
         "unit": "GTEPS",
         "vs_baseline": bfs,
     }
-    for k in ("sssp_gteps", "spmv_gbs", "spmv_gteps", "pr_iters_per_s",
-              "tc_ms", "tc_rate_meps", "device", "n", "nnz"):
+    for k in ("bfs_gteps_total", "sssp_gteps", "sssp_gteps_total",
+              "spmv_gbs", "spmv_gteps", "pr_iters_per_s",
+              "tc_ms", "tc_rate_meps", "bfs_gteps_rmat22",
+              "bfs_gteps_total_rmat22", "device", "n", "nnz"):
         if k in merged:
             result[k] = merged[k]
     print(json.dumps(result))

@@ -41,18 +41,43 @@ def rmat_edges(scale: int, edge_factor: int = 16, seed: int = 0,
 
 
 def rmat_matrix(scale: int, edge_factor: int = 16, seed: int = 0,
-                undirected: bool = True, dtype=None, **kw):
-    """Build a canonicalized Matrix from RMAT edges (weights = 1.0)."""
+                undirected: bool = True, dtype=None,
+                cache_dir: str = None, **kw):
+    """Build a canonicalized Matrix from RMAT edges (weights = 1.0).
+
+    Canonicalized COO is cached on disk at scale ≥ 20 (generation +
+    symmetrize + dedup takes ~5 min at scale 22; the reload is ~20 s) —
+    the .bin-cache idea (sparse_matrix.hpp:328-407) applied to generated
+    inputs. Set GRB_RMAT_CACHE=0 to disable."""
+    import os
+
     import jax.numpy as jnp
 
     from ..matrix import Matrix
     from .mmio import canonicalize_coo
 
     dtype = dtype or jnp.float32
+    n = 1 << scale
+    use_cache = (scale >= 20 and undirected
+                 and os.environ.get("GRB_RMAT_CACHE", "1") not in ("0",))
+    cpath = None
+    if use_cache:
+        d = cache_dir or os.environ.get("GRB_RMAT_CACHE_DIR", "/tmp")
+        cpath = os.path.join(d, f".rmat{scale}_{edge_factor}_{seed}.npz")
+        if os.path.exists(cpath):
+            z = np.load(cpath)
+            return Matrix.from_coo(z["rows"], z["cols"], z["vals"], n, n,
+                                   dtype=dtype, **kw)
+
     rows, cols = rmat_edges(scale, edge_factor, seed)
     vals = np.ones(len(rows), dtype=np.float32)
     rows, cols, vals = canonicalize_coo(rows, cols, vals,
                                         undirected=undirected,
                                         remove_self_loops=True)
-    n = 1 << scale
+    if cpath is not None:
+        try:
+            np.savez(cpath, rows=rows.astype(np.int32),
+                     cols=cols.astype(np.int32), vals=vals)
+        except OSError:
+            pass
     return Matrix.from_coo(rows, cols, vals, n, n, dtype=dtype, **kw)
