@@ -188,6 +188,65 @@ class Matrix:
         return Matrix.from_coo(rows, cols, vals, nrows, ncols, dtype=dtype, **kw)
 
     @staticmethod
+    def from_device_csr(row_ptr, col_ind, val, nrows: int, ncols: int,
+                        nvals: int = None, build_csc: bool = True,
+                        pad_to: int = TILE) -> "Matrix":
+        """Zero-copy build from DEVICE CSR arrays — no host round trip
+        (reference: sparse_matrix.hpp:418-435, build from raw device
+        pointers with csr_ownership_=false). Matters for graphs generated
+        on-device (e.g. device-side RMAT at large scale): the expanded row
+        ids come from a scatter+cummax pass and the CSC mirror from a
+        device-side sort-transpose, so nothing but one nvals scalar crosses
+        the device boundary.
+
+        Note: such matrices carry no `_host_csr` stash, so bilinear plan
+        builders fall back (plans need the host tiling pass)."""
+        row_ptr = jnp.asarray(row_ptr, INDEX_DTYPE)
+        if nvals is None:
+            nvals = int(row_ptr[-1])          # the one scalar fetch
+        nnz_pad = max(round_up(max(nvals, 1), pad_to), pad_to)
+
+        def pad_dev(a, fill):
+            a = a[:nnz_pad] if a.shape[0] >= nnz_pad else jnp.concatenate(
+                [a, jnp.full((nnz_pad - a.shape[0],), fill, a.dtype)])
+            slot = jnp.arange(nnz_pad) < nvals
+            return jnp.where(slot, a, jnp.asarray(fill, a.dtype))
+
+        col_ind = pad_dev(jnp.asarray(col_ind, INDEX_DTYPE), 0)
+        val = pad_dev(jnp.asarray(val), 0)
+
+        # expanded row ids: scatter each row id at its segment start, then
+        # forward-fill with cummax (empty rows collapse correctly — the
+        # max row id whose ptr ≤ e wins); pad slots get the nrows sentinel
+        marks = (jnp.zeros((nnz_pad + 1,), INDEX_DTYPE)
+                 .at[row_ptr[:-1]].max(jnp.arange(nrows, dtype=INDEX_DTYPE),
+                                       mode="drop"))
+        row_ind = jax.lax.cummax(marks[:nnz_pad])
+        row_ind = jnp.where(jnp.arange(nnz_pad) < nvals, row_ind, nrows)
+
+        csc = dict(col_ptr=None, csc_row_ind=None, csc_col_ind=None,
+                   csc_val=None)
+        fmt = SparseFormat.CSRONLY
+        if build_csc:
+            # device-side transpose: sort (col, row, val) by column, column
+            # pointers from a vectorized searchsorted over the sorted keys
+            key = jnp.where(jnp.arange(nnz_pad) < nvals, col_ind, ncols)
+            cs, rs, vs = jax.lax.sort((key, row_ind, val), num_keys=1,
+                                      is_stable=False)
+            col_ptr = jnp.searchsorted(
+                cs, jnp.arange(ncols + 1, dtype=INDEX_DTYPE)).astype(
+                    INDEX_DTYPE)
+            live = jnp.arange(nnz_pad) < nvals   # pads sorted to the tail
+            csc = dict(col_ptr=col_ptr,
+                       csc_row_ind=jnp.where(live, rs, 0),  # in-bounds pad
+                       csc_col_ind=jnp.where(cs >= ncols, ncols, cs),
+                       csc_val=jnp.where(live, vs, jnp.zeros((), vs.dtype)))
+            fmt = SparseFormat.CSRCSC
+        return Matrix(nrows, ncols, nvals, row_ptr=row_ptr, col_ind=col_ind,
+                      row_ind=row_ind, val=val, **csc, format=fmt,
+                      symmetric=False)
+
+    @staticmethod
     def from_dense(dense, fmt: SparseFormat = SparseFormat.CSRCSC) -> "Matrix":
         dense = np.asarray(dense)
         rows, cols = np.nonzero(dense)

@@ -262,6 +262,9 @@ def bilinear_available(n_out: int, n_in: int,
 
 WB_BITS = 17                 # 131072-column windows (32 word-rows)
 WB = 1 << WB_BITS
+SUBB = 2048                  # edges per bitmap sub-block (16 sublane rows):
+SUBB_ROWS = SUBB // LANE     # tiles are 32x larger than the f32 kernel's,
+CHUNKB_SUBS = 8              # so the bigger granularity stays low-padding
 
 
 @jax.tree_util.register_pytree_node_class
@@ -300,14 +303,14 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int) -> BitmapPlan:
     n_out_pad = max(round_up(n_out, W), W)
     n_cb = max(round_up(n_in, WB), WB) >> WB_BITS
     n_wrows = n_cb * (WB // 32 // LANE)          # 32 word-rows per window
-    chunk = SUB * CHUNK_SUBS
+    chunk = SUBB * CHUNKB_SUBS
 
     if m == 0:
         nch = 1
         return BitmapPlan(
             n_out, n_in, n_out_pad, n_wrows, chunk,
             jnp.zeros((chunk,), jnp.int32),
-            jnp.zeros((chunk // SUB,), jnp.int32),
+            jnp.zeros((chunk // SUBB,), jnp.int32),
             jnp.zeros((nch,), jnp.int32), jnp.ones((nch,), jnp.int32),
             jnp.zeros((n_out_pad // LANE,), jnp.float32))
 
@@ -322,7 +325,7 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int) -> BitmapPlan:
     head = np.r_[True, t_sorted[1:] != t_sorted[:-1]]
     starts = np.flatnonzero(head)
     counts = np.diff(np.r_[starts, m])
-    padded = ((counts + SUB - 1) // SUB) * SUB
+    padded = ((counts + SUBB - 1) // SUBB) * SUBB
 
     # additionally pad each ROW PANEL's stream to a chunk multiple so every
     # chunk maps to exactly one output panel
@@ -349,12 +352,12 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int) -> BitmapPlan:
     loc[pos] = (1 << 29) | (r_loc << WB_BITS) | c_loc
 
     # per-sub-block window offsets
-    nsb = m_pad // SUB
+    nsb = m_pad // SUBB
     sb_cb = np.zeros(nsb, np.int64)
-    sb_fill = np.repeat(t_sorted[starts] % n_cb, padded // SUB)
+    sb_fill = np.repeat(t_sorted[starts] % n_cb, padded // SUBB)
     # place per-tile runs at their (possibly panel-padded) positions
-    sb_pos = np.repeat(tile_out // SUB, padded // SUB) + \
-        np.concatenate([np.arange(k) for k in padded // SUB]) \
+    sb_pos = np.repeat(tile_out // SUBB, padded // SUBB) + \
+        np.concatenate([np.arange(k) for k in padded // SUBB]) \
         if len(padded) else np.zeros(0, np.int64)
     sb_cb[sb_pos.astype(np.int64)] = sb_fill
     c_blk = (sb_cb * (WB // 32 // LANE)).astype(np.int32)
@@ -382,10 +385,10 @@ def _kernel_bitmap(c_blk_ref, rp_ref, first_ref, w_ref, loc_ref, y_ref):
     def _():
         y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
 
-    for sb in range(CHUNK_SUBS):
-        base = c * CHUNK_SUBS + sb
+    for sb in range(CHUNKB_SUBS):
+        base = c * CHUNKB_SUBS + sb
         c0 = c_blk_ref[base]
-        lv = loc_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
+        lv = loc_ref[sb * SUBB_ROWS:(sb + 1) * SUBB_ROWS, :]
 
         cl = lv & (WB - 1)
         whi = cl >> 12               # word-row within the 32-row window
@@ -400,21 +403,25 @@ def _kernel_bitmap(c_blk_ref, rp_ref, first_ref, w_ref, loc_ref, y_ref):
             wg = jnp.where(whi == s, cand, wg)
         bit = jax.lax.shift_right_logical(wg, bitpos) & 1
         valid = jax.lax.shift_right_logical(lv, 29) & 1
-        p = (bit & valid).astype(y_ref.dtype)
+        # 0/1 products: int8 one-hots with int32 accumulation are exact
+        # and run the MXU at its int8 rate. Build masks/selects in int32
+        # ((8,128)-tiled) and cast to int8 only at the matmul operands —
+        # Mosaic rejects i1 relayouts straight into the (32,128) int8 tiling
+        p = bit & valid
 
         rl = (lv >> WB_BITS) & (W - 1)
-        rhi = (rl >> 7).reshape(1, SUB)
-        rlo = (rl & (LANE - 1)).reshape(1, SUB)
-        pf = p.reshape(1, SUB)
+        rhi = (rl >> 7).reshape(1, SUBB)
+        rlo = (rl & (LANE - 1)).reshape(1, SUBB)
+        pf = p.reshape(1, SUBB)
 
-        ia = jax.lax.broadcasted_iota(jnp.int32, (W_ROWS, SUB), 0)
-        A = jnp.where(jnp.broadcast_to(rhi, (W_ROWS, SUB)) == ia,
-                      jnp.broadcast_to(pf, (W_ROWS, SUB)), 0.0)
-        ib = jax.lax.broadcasted_iota(jnp.int32, (LANE, SUB), 0)
-        Bt = (jnp.broadcast_to(rlo, (LANE, SUB)) == ib).astype(y_ref.dtype)
-        M = jax.lax.dot_general(A, Bt, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
+        ia = jax.lax.broadcasted_iota(jnp.int32, (W_ROWS, SUBB), 0)
+        A = jnp.where(jnp.broadcast_to(rhi, (W_ROWS, SUBB)) == ia,
+                      jnp.broadcast_to(pf, (W_ROWS, SUBB)), 0)
+        ib = jax.lax.broadcasted_iota(jnp.int32, (LANE, SUBB), 0)
+        Bt = jnp.where(jnp.broadcast_to(rlo, (LANE, SUBB)) == ib, 1, 0)
+        M = jax.lax.dot_general(A.astype(jnp.int8), Bt.astype(jnp.int8),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
         y_ref[:] += M
 
 
@@ -435,8 +442,8 @@ def _spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
     w2d = jnp.pad(words, (0, plan.n_wrows * LANE - nw)).reshape(
         plan.n_wrows, LANE)
 
-    chunk_rows = CHUNK_SUBS * SUB_ROWS
-    n_chunks = plan.m_pad // (CHUNK_SUBS * SUB)
+    chunk_rows = CHUNKB_SUBS * SUBB_ROWS
+    n_chunks = plan.m_pad // (CHUNKB_SUBS * SUBB)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -454,11 +461,11 @@ def _spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
         _kernel_bitmap,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
-                                       jnp.float32),
+                                       jnp.int32),
         interpret=interpret,
     )(plan.c_blk, plan.rp, plan.first, w2d, plan.loc.reshape(-1, LANE))
-    # unvisited panels hold garbage (possibly NaN — where, not multiply)
-    y2d = jnp.where(plan.visited[:, None] > 0, y2d, 0.0)
+    # unvisited panels hold garbage (where, not multiply)
+    y2d = jnp.where(plan.visited[:, None] > 0, y2d, 0)
     return y2d.reshape(-1)[:plan.n_out]
 
 
