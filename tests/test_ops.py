@@ -386,3 +386,34 @@ def test_debug_and_dirinfo_observability(chesapeake, capsys):
         mode="stepped")
     out = capsys.readouterr().out
     assert "[dirinfo] frontier nnz/n" in out
+
+
+def test_from_device_csr_matches_from_coo(rng):
+    """Zero-copy device-CSR constructor: same dense image and a working CSC
+    mirror (reference: sparse_matrix.hpp:418-435 raw-device build)."""
+    import jax.numpy as jnp
+
+    import graphblast_tpu as gb
+    from graphblast_tpu.semiring import PlusMultipliesSemiring
+
+    n, m = 300, 2000
+    rows = np.sort(rng.randint(0, n, m))
+    cols = rng.randint(0, n, m)
+    vals = rng.randn(m).astype(np.float32)
+    # dedup (i,j) so both constructions agree
+    key = rows * n + cols
+    _, keep = np.unique(key, return_index=True)
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    A = gb.Matrix.from_coo(rows, cols, vals, n, n)
+
+    B = gb.Matrix.from_device_csr(A.row_ptr, A.col_ind, A.val, n, n,
+                                  nvals=A.nvals)
+    np.testing.assert_allclose(np.asarray(B.to_dense()),
+                               np.asarray(A.to_dense()))
+    np.testing.assert_array_equal(np.asarray(B.row_ind[:B.nvals]),
+                                  np.asarray(A.row_ind[:A.nvals]))
+    # CSC mirror drives a vxm pull correctly
+    x = rng.standard_normal(n).astype(np.float32)
+    ya = gb.vxm(gb.Vector.dense_from(x), A, PlusMultipliesSemiring).to_numpy()
+    yb = gb.vxm(gb.Vector.dense_from(x), B, PlusMultipliesSemiring).to_numpy()
+    np.testing.assert_allclose(yb, ya, atol=1e-4)
