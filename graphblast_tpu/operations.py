@@ -22,6 +22,7 @@ from .matrix import Matrix
 from .semiring import BinaryOp, Monoid, Semiring, extract_add, extract_mul
 from .types import Direction, Storage, INDEX_DTYPE, round_up
 from .vector import Vector
+from . import dimension as dim
 from .ops import elementwise as ew
 from .ops import segops
 from .ops.dispatch import DualFrontier, mxv_dual
@@ -94,7 +95,17 @@ def _matvec(A, u, semiring, mask, accum, desc, w, transpose: bool) -> Vector:
     _debug_op(desc, "vxm" if transpose else "mxv", A=A, u=u, mask=mask)
     n_out = A.ncols if transpose else A.nrows
     n_in = A.nrows if transpose else A.ncols
-    _check(u.n == n_in, f"dim mismatch: u.n={u.n} vs {n_in}")
+    op_name = "vxm" if transpose else "mxv"
+    # systematic dim checks (reference: dimension.hpp:13-114 via CHECKs in
+    # operations.hpp:97-127)
+    if transpose:
+        dim.check_row_size(A, u, op_name)
+        dim.check_col_size(A, mask, op_name, "mask")
+        dim.check_col_size(A, w, op_name, "w")
+    else:
+        dim.check_col_size(A, u, op_name)
+        dim.check_row_size(A, mask, op_name, "mask")
+        dim.check_row_size(A, w, op_name, "w")
     ident = semiring.identity(u.dtype)
     mask_d = _mask_dense(mask)
 
@@ -149,7 +160,14 @@ def mxm(A: Matrix, B: Matrix, semiring: Semiring,
     from .ops import spgemm
 
     _debug_op(desc, "mxm", A=A, B=B, mask=mask)
+    # inner-dim check (dimension.hpp checkDimRowCol; Bᵀ when INP1 toggled)
+    b_inner = B.ncols if desc.transpose_inp1 else B.nrows
+    if A.ncols != b_inner:
+        raise dim.DimensionException(
+            f"mxm: dimension mismatch — A is {A.shape}, "
+            f"B{'ᵀ' if desc.transpose_inp1 else ''} inner dim {b_inner}")
     if mask is not None:
+        dim.check_row_row(A, mask, "mxm")
         return spgemm.spgemm_masked(A, B, mask, semiring,
                                     transpose_b=desc.transpose_inp1)
     return spgemm.spgemm(A, B, semiring, transpose_b=desc.transpose_inp1)
@@ -223,8 +241,10 @@ def _ewise(u, v, binop, mask, accum, desc, w, annihilator=None) -> Vector:
     _debug_op(desc, "eWise", u=u, v=v, mask=mask)
     ident = jnp.zeros((), u.dtype)
     mask_d = _mask_dense(mask)
+    if mask is not None:
+        dim.check_size_size(u, mask, "eWise", "u/mask")
     if isinstance(v, Vector):
-        _check(u.n == v.n, "eWise dim mismatch")
+        dim.check_size_size(u, v, "eWise")
         if u.storage == Storage.SPARSE and v.storage == Storage.DENSE:
             out = ew.ewise_add_sparse_dense(u.n, u.sind, u.sval, u.snvals,
                                             v.dense, binop)
@@ -278,6 +298,7 @@ def assign(w: Vector, value, mask: Optional[Vector] = None,
     value" in the dense encoding). Sparse w sets-then-prunes (SSSP filter,
     assign.hpp:107-245)."""
     _debug_op(desc, "assign", w=w, mask=mask)
+    dim.check_size_size(w, mask, "assign", "w/mask")
     mask_d = _mask_dense(mask)
     if w.storage == Storage.SPARSE:
         sind, sval, nv = ew.assign_constant_sparse(
@@ -347,6 +368,7 @@ def assign_scatter(w: Vector, u: Vector, indices: Vector,
                    desc: Descriptor = DEFAULT) -> Vector:
     """w[indices[i]] = u[i] (reference: operations.hpp:771-790 → scatterIndexed,
     scatter.hpp:85-123). CC's hooking step: parent[parent_temp[i]] = mnp[i]."""
+    dim.check_size_size(u, indices, "assignScatter", "u/indices")
     wd = w.to_dense(0).dense
     ud = u.to_dense(0).dense
     idx = indices.to_dense(0).dense.astype(INDEX_DTYPE)
@@ -394,6 +416,7 @@ def eWiseMult_matrix_scalar(A: Matrix, op, value) -> Matrix:
 
 
 def scale_matrix_rows(A: Matrix, vec: Vector, op) -> Matrix:
+    dim.check_row_size(A, vec, "scaleRows", "vec")
     """A'[i,j] = op(A[i,j], vec[i]) (reference: eWiseMultRowInner)."""
     binop = _binop_of(op, use_mul=True)
     vd = vec.to_dense(0).dense
@@ -405,6 +428,7 @@ def scale_matrix_rows(A: Matrix, vec: Vector, op) -> Matrix:
 
 
 def scale_matrix_cols(A: Matrix, vec: Vector, op) -> Matrix:
+    dim.check_col_size(A, vec, "scaleCols", "vec")
     """A'[i,j] = op(A[i,j], vec[j]) (reference: eWiseMultColInner)."""
     binop = _binop_of(op, use_mul=True)
     vd = vec.to_dense(0).dense
