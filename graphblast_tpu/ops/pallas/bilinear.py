@@ -189,7 +189,9 @@ def _kernel(c_off_ref, r_off_ref, x_ref, loc_ref, val_ref, y_ref):
         ib = jax.lax.broadcasted_iota(jnp.int32, (LANE, SUB), 0)
         Bt = (jnp.broadcast_to(rlo, (LANE, SUB)) == ib).astype(y_ref.dtype)
         # HIGHEST: TPU DEFAULT truncates f32 operands to one bf16 pass
-        # (measured 1.2e-3 rel err vs 5e-5 for true f32 accumulation)
+        # (measured 1.2e-3 rel err vs 5e-5 for true f32 accumulation).
+        # Per-operand precision (Bt is exact in bf16) is not lowered by
+        # Mosaic ("Per-operand dot precision unsupported").
         M = jax.lax.dot_general(A, Bt, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST)
