@@ -281,21 +281,28 @@ class BitmapPlan:
     n_wrows: int             # bitmap word-rows incl. zero padding
     m_pad: int
     loc: jnp.ndarray
-    c_blk: jnp.ndarray       # (nsb,) word-row offset of each sub-block's window
+    c_blk: jnp.ndarray       # (n_chunks, 128) word-row offset of each sub-block's
+    #                          window — lives in HBM and is DMA'd into SMEM
+    #                          per chunk (a scalar-prefetch array would blow
+    #                          the 1 MB SMEM budget at scale 24: nsb ≈ 260K)
     rp: jnp.ndarray          # (n_chunks,) row-panel index per chunk
-    first: jnp.ndarray       # (n_chunks,) 1 iff first chunk of its panel
     visited: jnp.ndarray     # (n_out_pad//128,) 1.0 iff the row's panel has
     #                          edges — panels the grid never visits hold
     #                          undefined output memory and must be zeroed
 
+    dma_cblk: bool = False   # True → c_blk is (n_chunks,128) rows DMA'd
+    #                          from HBM per chunk; False → flat (nsb,)
+    #                          scalar-prefetch (fits SMEM below ~scale 23)
+
     def tree_flatten(self):
-        return ((self.loc, self.c_blk, self.rp, self.first, self.visited),
+        return ((self.loc, self.c_blk, self.rp, self.visited),
                 (self.n_out, self.n_in, self.n_out_pad, self.n_wrows,
-                 self.m_pad))
+                 self.m_pad, self.dma_cblk))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*aux, *leaves)
+        *dims, dma = aux
+        return cls(*dims, *leaves, dma_cblk=dma)
 
 
 def build_plan_bitmap(ptr, ind, n_out: int, n_in: int) -> BitmapPlan:
@@ -313,8 +320,8 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int) -> BitmapPlan:
             n_out, n_in, n_out_pad, n_wrows, chunk,
             jnp.zeros((chunk,), jnp.int32),
             jnp.zeros((chunk // SUBB,), jnp.int32),
-            jnp.zeros((nch,), jnp.int32), jnp.ones((nch,), jnp.int32),
-            jnp.zeros((n_out_pad // LANE,), jnp.float32))
+            jnp.zeros((nch,), jnp.int32),
+            jnp.zeros((n_out_pad // LANE,), jnp.float32), dma_cblk=False)
 
     rows = np.repeat(np.arange(n_out, dtype=np.int64), np.diff(ptr_np))
     cols = np.asarray(ind, dtype=np.int64)[:m]
@@ -362,34 +369,66 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int) -> BitmapPlan:
         np.concatenate([np.arange(k) for k in padded // SUBB]) \
         if len(padded) else np.zeros(0, np.int64)
     sb_cb[sb_pos.astype(np.int64)] = sb_fill
-    c_blk = (sb_cb * (WB // 32 // LANE)).astype(np.int32)
+    c_blk_flat = (sb_cb * (WB // 32 // LANE)).astype(np.int32)
 
     n_chunks = m_pad // chunk
+    # SMEM budget call: a flat scalar-prefetch c_blk costs nsb·4 B of SMEM
+    # (1 MB total budget; blew up at scale 24 where nsb ≈ 260K). Big plans
+    # switch to one 128-lane row per chunk, DMA'd from HBM in-kernel (HBM
+    # slices must be lane-tiling-aligned, so .at[c] fetches a whole row).
+    dma_cblk = nsb > 120_000
+    if dma_cblk:
+        c_blk = np.zeros((n_chunks, LANE), np.int32)
+        c_blk[:, :CHUNKB_SUBS] = c_blk_flat.reshape(n_chunks, CHUNKB_SUBS)
+    else:
+        c_blk = c_blk_flat
     rp_c = np.zeros(n_chunks, np.int64)
     ch_of_rp = rp_tot_pad // chunk
     rp_ids = np.repeat(tile_rp[rp_head], ch_of_rp)
     rp_c[: len(rp_ids)] = rp_ids
-    first = np.r_[1, (rp_c[1:] != rp_c[:-1]).astype(np.int64)]
     pmask = np.zeros(n_out_pad >> W_BITS, np.float32)
     pmask[np.unique(tile_rp)] = 1.0
     visited = np.repeat(pmask, W // LANE)
     return BitmapPlan(n_out, n_in, n_out_pad, n_wrows, m_pad,
                       jnp.asarray(loc), jnp.asarray(c_blk),
                       jnp.asarray(rp_c, jnp.int32).reshape(-1),
-                      jnp.asarray(first, jnp.int32).reshape(-1),
-                      jnp.asarray(visited))
+                      jnp.asarray(visited), dma_cblk=dma_cblk)
 
 
-def _kernel_bitmap(c_blk_ref, rp_ref, first_ref, w_ref, loc_ref, y_ref):
+def _kernel_bitmap_dma(rp_ref, cblk_hbm, w_ref, loc_ref, y_ref, cb_smem,
+                       sem):
     c = pl.program_id(0)
+    # this chunk's 8 window offsets: tiny HBM→SMEM DMA (the full per-sub-
+    # block array is ~1 MB of int32 at scale 24 — over the SMEM budget as
+    # a scalar-prefetch operand)
+    copy = pltpu.make_async_copy(cblk_hbm.at[c], cb_smem, sem)
+    copy.start()
 
-    @pl.when(first_ref[c] == 1)
+    first = jnp.logical_or(c == 0, rp_ref[c] != rp_ref[jnp.maximum(c - 1, 0)])
+
+    @pl.when(first)
     def _():
         y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
 
+    copy.wait()
+    _bitmap_chunk_body(lambda sb: cb_smem[sb], c, w_ref, loc_ref, y_ref)
+
+
+def _kernel_bitmap_prefetch(cblk_ref, rp_ref, w_ref, loc_ref, y_ref):
+    c = pl.program_id(0)
+    first = jnp.logical_or(c == 0, rp_ref[c] != rp_ref[jnp.maximum(c - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
+
+    _bitmap_chunk_body(lambda sb: cblk_ref[c * CHUNKB_SUBS + sb], c, w_ref,
+                       loc_ref, y_ref)
+
+
+def _bitmap_chunk_body(c0_of, c, w_ref, loc_ref, y_ref):
     for sb in range(CHUNKB_SUBS):
-        base = c * CHUNKB_SUBS + sb
-        c0 = c_blk_ref[base]
+        c0 = c0_of(sb)
         lv = loc_ref[sb * SUBB_ROWS:(sb + 1) * SUBB_ROWS, :]
 
         cl = lv & (WB - 1)
@@ -447,25 +486,49 @@ def _spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
     chunk_rows = CHUNKB_SUBS * SUBB_ROWS
     n_chunks = plan.m_pad // (CHUNKB_SUBS * SUBB)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bitmap table
-            pl.BlockSpec((chunk_rows, LANE), lambda c, cb, rp, fi: (c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((W_ROWS, LANE),
-                               lambda c, cb, rp, fi: (rp[c], 0),
-                               memory_space=pltpu.VMEM),
-    )
-    y2d = pl.pallas_call(
-        _kernel_bitmap,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
-                                       jnp.int32),
-        interpret=interpret,
-    )(plan.c_blk, plan.rp, plan.first, w2d, plan.loc.reshape(-1, LANE))
+    if plan.dma_cblk:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # c_blk stays in HBM
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # bitmap table
+                pl.BlockSpec((chunk_rows, LANE), lambda c, rp: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((W_ROWS, LANE),
+                                   lambda c, rp: (rp[c], 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.SMEM((LANE,), jnp.int32),
+                            pltpu.SemaphoreType.DMA(())],
+        )
+        y2d = pl.pallas_call(
+            _kernel_bitmap_dma,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
+                                           jnp.int32),
+            interpret=interpret,
+        )(plan.rp, plan.c_blk, w2d, plan.loc.reshape(-1, LANE))
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # bitmap table
+                pl.BlockSpec((chunk_rows, LANE), lambda c, cb, rp: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((W_ROWS, LANE),
+                                   lambda c, cb, rp: (rp[c], 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        y2d = pl.pallas_call(
+            _kernel_bitmap_prefetch,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
+                                           jnp.int32),
+            interpret=interpret,
+        )(plan.c_blk, plan.rp, w2d, plan.loc.reshape(-1, LANE))
     # unvisited panels hold garbage (where, not multiply)
     y2d = jnp.where(plan.visited[:, None] > 0, y2d, 0)
     return y2d.reshape(-1)[:plan.n_out]
