@@ -224,6 +224,23 @@ def eWiseMult(u: Vector, v: Union[Vector, float, int], op,
     ann = op.identity(u.dtype) if isinstance(op, Semiring) else None
     if desc.mask_scmp:
         desc = desc.replace(mask_scmp=False)  # quirk (b)
+    if (isinstance(v, Vector) and u.storage == Storage.SPARSE
+            and v.storage == Storage.DENSE and mask is None and accum is None
+            and w is None and ann is None):
+        # sparse ∘ dense → SPARSE output at u's stored indices (reference:
+        # ewisemult.hpp:174-270 — the output inherits u's sparsity; VERDICT
+        # r1: this case previously densified, preserving semantics but
+        # losing sparsity). One monotone gather of v at u.sind.
+        dim.check_size_size(u, v, "eWiseMult")
+        from .ops.gather_dispatch import take
+
+        binop = _binop_of(op, use_mul=True)
+        vi = take(v.dense, jnp.minimum(u.sind, u.n - 1), sorted=True)
+        live = jnp.arange(u.cap, dtype=INDEX_DTYPE) < u.snvals
+        sval = jnp.where(live, binop(u.sval, vi.astype(u.sval.dtype)),
+                         jnp.zeros((), u.sval.dtype))
+        return Vector(u.n, Storage.SPARSE, sind=u.sind, sval=sval,
+                      snvals=u.snvals)
     return _ewise(u, v, _binop_of(op, use_mul=True), mask, accum, desc, w,
                   annihilator=ann)
 

@@ -417,3 +417,31 @@ def test_from_device_csr_matches_from_coo(rng):
     ya = gb.vxm(gb.Vector.dense_from(x), A, PlusMultipliesSemiring).to_numpy()
     yb = gb.vxm(gb.Vector.dense_from(x), B, PlusMultipliesSemiring).to_numpy()
     np.testing.assert_allclose(yb, ya, atol=1e-4)
+
+
+def test_ewise_mult_sparse_dense_keeps_sparsity(rng):
+    """sparse ∘ dense eWiseMult returns a SPARSE vector at u's stored
+    indices (reference: ewisemult.hpp:174-270; previously densified)."""
+    import graphblast_tpu as gb
+    from graphblast_tpu.semiring import Multiplies
+    from graphblast_tpu.types import Storage
+    from graphblast_tpu.vector import Vector
+
+    n = 200
+    ind = np.sort(rng.choice(n, 17, replace=False))
+    val = rng.randn(17).astype(np.float32)
+    u = Vector.sparse_from(n, ind, val)
+    vd = rng.randn(n).astype(np.float32)
+    v = Vector.dense_from(vd)
+
+    got = gb.eWiseMult(u, v, Multiplies)
+    assert got.storage == Storage.SPARSE
+    assert int(got.snvals) == 17
+    want = np.zeros(n, np.float32)
+    want[ind] = val * vd[ind]
+    np.testing.assert_allclose(got.to_numpy(), want, rtol=1e-6)
+
+    # dense-path result identical
+    got_dense = gb.eWiseMult(u.to_dense(0), v, Multiplies)
+    np.testing.assert_allclose(np.asarray(got_dense.to_numpy()), want,
+                               rtol=1e-6)
