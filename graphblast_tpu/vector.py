@@ -102,6 +102,31 @@ class Vector:
             return self.snvals
         return jnp.sum(self.dense != jnp.asarray(identity, self.dense.dtype)).astype(INDEX_DTYPE)
 
+    # -- invariants (the Vector analog of Matrix.check /
+    # sparse_matrix.hpp:521-551) ------------------------------------------------
+    def check(self, expect_sorted: bool = False):
+        """Validate storage invariants on the host. Sparse: live indices
+        in-bounds, snvals within capacity, pad slots carry the n sentinel;
+        expect_sorted additionally requires ascending indices (true for
+        compaction-produced frontiers, NOT for set_element-appended vectors
+        — matching the reference's append-then-sort-on-demand contract).
+        Dense: length n."""
+        import numpy as np
+
+        if self.storage == Storage.DENSE:
+            assert self.dense.shape == (self.n,), "dense length"
+            return True
+        nv = int(self.snvals)
+        assert 0 <= nv <= self.cap, "snvals within capacity"
+        si = np.asarray(self.sind)
+        live = si[:nv]
+        assert live.min(initial=0) >= 0 and (nv == 0 or live.max() < self.n), \
+            "sparse indices in bounds"
+        if expect_sorted:
+            assert np.all(np.diff(live) >= 0), "sparse indices ascending"
+        assert np.all(si[nv:] >= self.n), "pad sentinel"
+        return True
+
     # -- element ops (functional) ----------------------------------------------
     def set_element(self, value, index: int) -> "Vector":
         """setElement (reference: vector.hpp:153-167)."""
