@@ -8,7 +8,8 @@ from .partition import ShardedMatrix, partition, shard_vector
 from .algorithms import (bfs_dist, cc_dist, pr_dist, sssp_dist, tc_dist,
                          mis_dist, gc_dist, diameter_dist, lgc_dist,
                          tc_prepare,
-                         make_bfs_dist, make_pr_dist, make_sssp_dist,
+                         make_bfs_dist, make_pr_dist, make_pr_ring_dist,
+                         make_pr_2d_dist, make_sssp_dist,
                          make_cc_dist, make_mis_dist, make_gc_dist,
                          make_lgc_dist)
 from .bootstrap import init_distributed, global_mesh

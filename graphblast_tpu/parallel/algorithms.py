@@ -295,7 +295,24 @@ def pr_dist(A: Matrix, mesh: jax.sharding.Mesh, alpha: float = 0.85,
 
     comm: 'allgather' assembles the full vector per iteration (one
     collective); 'ring' streams 1/P segments around the device ring with
-    transfer/compute overlap and O(n/P) peak vector memory."""
+    transfer/compute overlap and O(n/P) peak vector memory; '2d' runs the
+    SUMMA-style block layout over an (r × c) mesh (pass `mesh` shaped
+    (R, C) with axes ("r", "c")) bounding each device's exchange to one
+    mesh row + one mesh column."""
+    if comm == "2d":
+        from ..algorithms.pr import prepare_pr_matrix
+        from ..operations import transpose
+        from .partition2d import partition_2d
+
+        if not prepared:
+            A = prepare_pr_matrix(A, alpha)
+        Ash2 = partition_2d(transpose(A), mesh)
+        run = _cached_fn(Ash2, ("pr-2d", alpha, eps, desc.max_niter),
+                         lambda: make_pr_2d_dist(mesh, Ash2, alpha, eps,
+                                                 desc))
+        p = run()
+        return np.asarray(p)[: Ash2.n]
+
     if comm == "ring":
         from ..algorithms.pr import prepare_pr_matrix
         from ..operations import transpose
@@ -378,6 +395,50 @@ def make_pr_ring_dist(mesh: jax.sharding.Mesh, Rsh, alpha: float = 0.85,
         mesh=mesh, in_specs=(P_("x", None, None),), out_specs=P_("x"),
         check_vma=False)
     return jax.jit(functools.partial(fn, Rsh))
+
+
+def _pr_2d_loop(Ash2, alpha: float, eps: float, max_niter: int,
+                n_true: int):
+    """PR over a 2D (r × c) block partition (partition2d._pull_block of Aᵀ):
+    each device's exchange is bounded to one mesh row + one mesh column —
+    the SUMMA/CombBLAS answer to power-law hub skew (SURVEY.md §7 hard part
+    (d)); previously the 2D layout had no algorithm consumer."""
+    from .partition2d import _pull_block
+
+    seg = Ash2.n_pad // (Ash2.R * Ash2.C)
+    my = (jax.lax.axis_index("r") * Ash2.C + jax.lax.axis_index("c"))
+    gids = my * seg + jnp.arange(seg, dtype=INDEX_DTYPE)
+    real = gids < n_true
+    p0 = jnp.where(real, 1.0 / n_true, 0.0).astype(jnp.float32)
+
+    def cond(st):
+        it, p, err = st
+        return (err > eps) & (it <= max_niter)
+
+    def body(st):
+        it, p, _ = st
+        p_swap = _pull_block(Ash2, p, PlusMultipliesSemiring)
+        p_new = jnp.where(real, p_swap + (1.0 - alpha) / n_true, 0.0)
+        r = p_new - p
+        err = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), ("r", "c")))
+        return it + 1, p_new, err
+
+    _, p, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1, INDEX_DTYPE), p0,
+                     jnp.asarray(1.0, jnp.float32)))
+    return p
+
+
+def make_pr_2d_dist(mesh2: jax.sharding.Mesh, Ash2, alpha: float = 0.85,
+                    eps: float = 1e-6, desc: Descriptor = DEFAULT):
+    """Compile 2D-partitioned distributed PageRank over a Sharded2D of Aᵀ
+    (build with partition_2d(transpose(A_prepared), mesh2))."""
+    fn = jax.shard_map(
+        functools.partial(_pr_2d_loop, alpha=alpha, eps=eps,
+                          max_niter=desc.max_niter, n_true=Ash2.n),
+        mesh=mesh2, in_specs=(P_("r", "c", None),),
+        out_specs=P_(("r", "c")), check_vma=False)
+    return jax.jit(functools.partial(fn, Ash2))
 
 
 # ---------------------------------------------------------------------------

@@ -366,3 +366,12 @@ def test_pr_dist_ring_matches_allgather(test_pr, mesh):
     a = pr_dist(test_pr, mesh, eps=1e-10)
     r = pr_dist(test_pr, mesh, eps=1e-10, comm="ring")
     np.testing.assert_allclose(r, a, atol=1e-6)
+
+
+def test_pr_dist_2d_matches_allgather(test_pr, mesh):
+    """SUMMA-style 2D PR == all_gather PR — the 2D layout's first full
+    algorithm consumer (VERDICT r1 missing-#5)."""
+    mesh2 = jax.make_mesh((4, 2), ("r", "c"))
+    a = pr_dist(test_pr, mesh, eps=1e-10)
+    d2 = pr_dist(test_pr, mesh2, eps=1e-10, comm="2d")
+    np.testing.assert_allclose(d2, a, atol=1e-6)
