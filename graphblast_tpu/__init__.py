@@ -20,6 +20,7 @@ Layer map (≈ reference layers, SURVEY.md §1):
 from .types import (
     Direction,
     INDEX_DTYPE,
+    Info,
     LoadBalanceMode,
     SparseFormat,
     Storage,

@@ -26,6 +26,39 @@ SUBLANE = 8
 TILE = LANE * SUBLANE
 
 
+class Info(enum.Enum):
+    """Status/error codes (reference: types.hpp:28-42 Info, 15 codes).
+
+    The reference returns these from every call and CHECK-macros them up
+    the stack (util.hpp:18-32). Here errors are raised as exceptions at
+    trace time; this enum names the mapping for API parity:
+      DIMENSION_MISMATCH  → dimension.DimensionException (a ValueError)
+      INVALID_VALUE/INDEX → ValueError (mmio banner, bad arguments)
+      UNINITIALIZED_OBJECT→ AttributeError/TypeError on None containers
+      OUT_OF_MEMORY       → the runtime's RESOURCE_EXHAUSTED
+      NOT_IMPLEMENTED     → absent by design: every declared op is real
+                            (the reference prints-and-returns it for its
+                            stub paths, operations.hpp:317-319)
+    SUCCESS is implicit (no exception).
+    """
+
+    SUCCESS = 0
+    NO_VALUE = 1
+    UNINITIALIZED_OBJECT = 2
+    NULL_POINTER = 3
+    INVALID_VALUE = 4
+    INVALID_INDEX = 5
+    DOMAIN_MISMATCH = 6
+    DIMENSION_MISMATCH = 7
+    OUTPUT_NOT_EMPTY = 8
+    OUT_OF_MEMORY = 9
+    INSUFFICIENT_SPACE = 10
+    INVALID_OBJECT = 11
+    INDEX_OUT_OF_BOUNDS = 12
+    PANIC = 13
+    NOT_IMPLEMENTED = 14
+
+
 class Storage(enum.Enum):
     """Vector/Matrix storage state (reference: graphblas/types.hpp:21-23)."""
 
