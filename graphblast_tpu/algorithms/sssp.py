@@ -115,7 +115,11 @@ def sssp(A: Matrix, source: int, desc: Descriptor = DEFAULT,
         succ = int(succ_t)
         print_dirinfo(succ, n, bool(used_push), prev_push, desc.dirinfo)
         prev_push = bool(used_push)
-        print_iter_row(it, succ, n, n, bool(used_push), ms, desc.timing)
+        # unvisited = still at the FLT_MAX sentinel (the reference's CSV
+        # column, bfs.hpp:54-60 shape); stepped mode syncs anyway
+        unvisited = int(jnp.sum(v >= MAXF)) if desc.timing else n
+        print_iter_row(it, succ, n, unvisited, bool(used_push), ms,
+                       desc.timing)
         if succ == 0:
             break
     return dense_result(n, v)
