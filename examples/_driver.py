@@ -15,6 +15,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+if os.environ.get("JAX_PLATFORM_NAME") == "cpu":
+    # Skip axon TPU plugin initialization entirely: when the relay tunnel is
+    # down, plugin init HANGS during backend discovery even though cpu would
+    # be selected — jax_platforms=cpu avoids touching it (conftest.py idiom)
+    jax.config.update("jax_platforms", "cpu")
+
 
 def run_driver(name, description, run_fn, cpu_fn, verify_fn, extra_args=None):
     """run_fn(A, args, desc) -> result array; cpu_fn(A, args) -> golden;

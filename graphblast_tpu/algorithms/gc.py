@@ -28,6 +28,12 @@ from .mis import random_weights, _mis_fused
 
 
 def _csc_int(A: Matrix):
+    # CSRONLY matrices carry no CSC arrays (col_ptr=None) — fall back to the
+    # CSR orientation, the reference's forced-direction idiom for that format
+    # (backend/cuda/operations.hpp:131-140). Identical results for symmetric
+    # graphs (coloring's normal domain).
+    if A.col_ptr is None:
+        return A.row_ptr, A.col_ind, A.val.astype(jnp.int32)
     return A.col_ptr, A.csc_row_ind, A.csc_val.astype(jnp.int32)
 
 

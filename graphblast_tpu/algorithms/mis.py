@@ -34,10 +34,19 @@ def random_weights(n: int, seed: int) -> jnp.ndarray:
     return jax.random.randint(key, (n,), 1, 2 ** 30, dtype=jnp.int32)
 
 
+def _pull_arrays(A: Matrix):
+    # CSRONLY fallback: forced-direction over CSR (operations.hpp:131-140);
+    # identical for symmetric graphs, MIS's normal domain
+    if A.col_ptr is None:
+        return A.row_ptr, A.col_ind, A.val.astype(jnp.int32)
+    return A.col_ptr, A.csc_row_ind, A.csc_val.astype(jnp.int32)
+
+
 def _mis_round(A: Matrix, v, w):
     n = A.nrows
+    ptr, ind, val = _pull_arrays(A)
     # vxm(m, mask=w, MaximumMultiplies, w, A) — mis.hpp:81-83. CSC pull.
-    m = spmv_pull(A.col_ptr, A.csc_row_ind, A.csc_val.astype(jnp.int32), w,
+    m = spmv_pull(ptr, ind, val, w,
                   MaximumMultipliesSemiring, n, mask_dense=w)
     # f = w > m (eWiseAdd GreaterPlus, mis.hpp:88-89)
     f = (w > m).astype(jnp.int32)
@@ -46,7 +55,7 @@ def _mis_round(A: Matrix, v, w):
     w = jnp.where(f != 0, 0, w)
     succ = jnp.sum(f).astype(INDEX_DTYPE)
     # neighbor removal (mis.hpp:105-109)
-    m2 = spmv_pull(A.col_ptr, A.csc_row_ind, A.csc_val.astype(jnp.int32),
+    m2 = spmv_pull(ptr, ind, val,
                    f, LogicalOrAndSemiring, n, mask_dense=w)
     w = jnp.where(m2 != 0, 0, w)
     return v, w, succ

@@ -70,8 +70,10 @@ class Descriptor:
     dirinfo: bool = False          # announce push/pull switches
     seed: int = None               # default from GRB_SEED (common.hpp:10-12)
 
-    # --- execution ---
-    backend: str = "tpu"           # "tpu" (jit) | "cpu" (numpy-ish reference path)
+    # --- execution (reference: GrB_BACKEND runtime toggle, types.hpp:69-70,
+    # used for apply with stateful host functors, apply.hpp:34-42, 102-111) ---
+    backend: str = "tpu"           # "tpu" (traced jnp) | "cpu" (host-functor
+    #                                 loop — consumed by apply/apply_matrix)
 
     def __post_init__(self):
         # resolve env-var-backed defaults (config.py) once at construction so

@@ -294,12 +294,73 @@ def _ewise(u, v, binop, mask, accum, desc, w, annihilator=None) -> Vector:
 
 def apply(u: Vector, fn, mask: Optional[Vector] = None,
           desc: Descriptor = DEFAULT) -> Vector:
-    """w = fn(u) elementwise. Runs on-device (the reference falls back to a
-    host loop for stateful functors, backend/cuda/apply.hpp:34-42; with
-    jax.random that hack is unnecessary)."""
+    """w = fn(u) elementwise. Runs on-device by default (the reference falls
+    back to a host loop for stateful functors, backend/cuda/apply.hpp:34-42;
+    with jax.random that hack is mostly unnecessary). desc.backend == "cpu"
+    forces the host-functor path — the reference's GrB_BACKEND=GrB_SEQUENTIAL
+    scoped toggle (algorithm/mis.hpp:131-133) — for arbitrary stateful Python
+    callables that cannot be traced."""
     ud = u.to_dense(0).dense
+    if desc.backend == "cpu":
+        uh = np.asarray(ud)
+        out_h = np.asarray([fn(x) for x in uh])
+        out = jnp.asarray(out_h)
+        mask_d = _mask_dense(mask)
+        if mask_d is not None:
+            from .ops.spmv import mask_pass
+
+            out = jnp.where(mask_pass(mask_d, desc.mask_scmp), out, ud)
+        return Vector(u.n, Storage.DENSE, dense=out)
     out = ew.apply_unary_dense(ud, fn, _mask_dense(mask), desc.mask_scmp)
     return Vector(u.n, Storage.DENSE, dense=out)
+
+
+def apply_matrix(A: Matrix, fn, desc: Descriptor = DEFAULT) -> Matrix:
+    """A' = fn(A) over stored values (reference: matrix apply with host
+    functors, backend/cuda/apply.hpp:102-111 — the one op the reference
+    always runs on its sequential backend because functors can be stateful).
+
+    desc.backend == "cpu" applies `fn` as a scalar host functor over the
+    numpy value arrays (exact reference semantics — a Python loop, so keep
+    it to preprocessing-sized matrices); the default "tpu" path traces `fn`
+    elementwise with jnp on-device."""
+    if A.val is None:
+        return A
+    if desc.backend == "cpu":
+        def host_apply(vals_host, dev_template):
+            # stashes hold true-nnz arrays; the device arrays are padded to
+            # nnz_pad — rebuild at padded length with zeroed pad slots
+            vh = np.asarray(vals_host)[: A.nvals]
+            new = np.asarray([fn(x) for x in vh], dtype=vh.dtype)
+            out = np.zeros(dev_template.shape, dev_template.dtype)
+            out[: len(new)] = new
+            return jnp.asarray(out)
+
+        host_csr = getattr(A, "_host_csr", None)
+        host_csc = getattr(A, "_host_csc", None)
+        new_val = host_apply(
+            host_csr[2] if host_csr is not None and host_csr[2] is not None
+            else np.asarray(A.val), A.val)
+        if A.csc_val is not None:
+            # the CSC copy re-applies fn on its own ordering (elementwise fn
+            # preserves value symmetry, so aliased structure stays valid)
+            new_csc = host_apply(
+                host_csc[2] if host_csc is not None and host_csc[2] is not None
+                else np.asarray(A.csc_val), A.csc_val)
+        else:
+            new_csc = None
+        return Matrix(A.nrows, A.ncols, A.nvals, A.row_ptr, A.col_ind,
+                      A.row_ind, new_val, A.col_ptr, A.csc_row_ind,
+                      A.csc_col_ind, new_csc, format=A.format,
+                      symmetric=A.symmetric)
+
+    def dev_apply(v, r, c):
+        # keep pad slots bit-identical (fn(0) may be nonzero and pads must
+        # stay inert for downstream kernels)
+        live = jnp.arange(v.shape[0]) < A.nvals
+        return jnp.where(live, fn(v), v)
+
+    return _scale_vals(A, dev_apply, breaks_symmetry=False)
 
 
 # ---------------------------------------------------------------------------
@@ -433,8 +494,8 @@ def eWiseMult_matrix_scalar(A: Matrix, op, value) -> Matrix:
 
 
 def scale_matrix_rows(A: Matrix, vec: Vector, op) -> Matrix:
-    dim.check_row_size(A, vec, "scaleRows", "vec")
     """A'[i,j] = op(A[i,j], vec[i]) (reference: eWiseMultRowInner)."""
+    dim.check_row_size(A, vec, "scaleRows", "vec")
     binop = _binop_of(op, use_mul=True)
     vd = vec.to_dense(0).dense
 
@@ -445,8 +506,8 @@ def scale_matrix_rows(A: Matrix, vec: Vector, op) -> Matrix:
 
 
 def scale_matrix_cols(A: Matrix, vec: Vector, op) -> Matrix:
-    dim.check_col_size(A, vec, "scaleCols", "vec")
     """A'[i,j] = op(A[i,j], vec[j]) (reference: eWiseMultColInner)."""
+    dim.check_col_size(A, vec, "scaleCols", "vec")
     binop = _binop_of(op, use_mul=True)
     vd = vec.to_dense(0).dense
 

@@ -174,6 +174,12 @@ def mxv_dual(
 
             ident = semiring.identity(f.dense.dtype)
             if structure_only and semiring.name == "LogicalOrAnd":
+                # count>0 ≡ the fused-or result only when edge values are
+                # all ones — a value plan with cancelling weights could sum
+                # to zero for a reached vertex (ADVICE r2)
+                assert (isinstance(pull_plan, BitmapPlan)
+                        or pull_plan.unit_vals), (
+                    "LogicalOrAnd pull needs a bitmap or ones=True plan")
                 if isinstance(pull_plan, BitmapPlan):
                     from .pallas.orpull import pack_bitmap
 

@@ -75,15 +75,18 @@ class BilinearPlan:
     val: jnp.ndarray
     c_off: jnp.ndarray
     r_off: jnp.ndarray
+    unit_vals: bool = False  # True iff built with all-ones values — only
+    #                          such plans may serve LogicalOrAnd via count>0
 
     def tree_flatten(self):
         return ((self.loc, self.val, self.c_off, self.r_off),
                 (self.n_out, self.n_in, self.n_out_pad, self.n_in_pad,
-                 self.m_pad))
+                 self.m_pad, self.unit_vals))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*aux, *leaves)
+        *dims, unit = aux
+        return cls(*dims, *leaves, unit_vals=unit)
 
 
 def build_plan(ptr, ind, val, n_out: int, n_in: int) -> BilinearPlan:
@@ -102,7 +105,8 @@ def build_plan(ptr, ind, val, n_out: int, n_in: int) -> BilinearPlan:
         return BilinearPlan(
             n_out, n_in, n_out_pad, n_in_pad, chunk,
             jnp.zeros((chunk,), jnp.int32), jnp.zeros((chunk,), jnp.float32),
-            jnp.zeros((nsb,), jnp.int32), jnp.zeros((nsb,), jnp.int32))
+            jnp.zeros((nsb,), jnp.int32), jnp.zeros((nsb,), jnp.int32),
+            unit_vals=val is None)
 
     rows = np.repeat(np.arange(n_out, dtype=np.int64), np.diff(ptr_np))
     cols = np.asarray(ind, dtype=np.int64)[:m]
@@ -143,7 +147,8 @@ def build_plan(ptr, ind, val, n_out: int, n_in: int) -> BilinearPlan:
 
     return BilinearPlan(n_out, n_in, n_out_pad, n_in_pad, m_pad,
                         jnp.asarray(loc), jnp.asarray(vstream),
-                        jnp.asarray(c_off), jnp.asarray(r_off))
+                        jnp.asarray(c_off), jnp.asarray(r_off),
+                        unit_vals=val is None)
 
 
 def _kernel(c_off_ref, r_off_ref, x_ref, loc_ref, val_ref, y_ref):

@@ -129,6 +129,13 @@ def dist_vxm_push_sparse(csr_ptr, csr_ind, csr_val, f_ind_local, f_val_local,
     dst_local = (dst - owner * rows_per).astype(INDEX_DTYPE)
     ow_s, dl_s, mv_s = jax.lax.sort((owner, dst_local, mv), num_keys=1,
                                     is_stable=False)
+    # Sentinel-pad by pair_cap so dynamic_slice(s, pair_cap) never clamps:
+    # a bucket starting within pair_cap of the buffer end would otherwise
+    # shift the window left and route earlier buckets' pairs to the wrong
+    # device (silent wrong results; ADVICE r2 high).
+    dl_s = jnp.concatenate([dl_s, jnp.full((pair_cap,), rows_per,
+                                           dl_s.dtype)])
+    mv_s = jnp.concatenate([mv_s, jnp.full((pair_cap,), ident, mv_s.dtype)])
     # per-owner group boundaries on the sorted owners (P+1 tiny queries)
     bounds = jnp.searchsorted(ow_s, jnp.arange(P + 1, dtype=INDEX_DTYPE))
     counts = bounds[1:] - bounds[:-1]

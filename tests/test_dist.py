@@ -375,3 +375,80 @@ def test_pr_dist_2d_matches_allgather(test_pr, mesh):
     a = pr_dist(test_pr, mesh, eps=1e-10)
     d2 = pr_dist(test_pr, mesh2, eps=1e-10, comm="2d")
     np.testing.assert_allclose(d2, a, atol=1e-6)
+
+
+def test_sparse_push_bucket_near_buffer_end(mesh):
+    """Regression (ADVICE r2 high): a bucket starting within pair_cap of the
+    end of the expansion buffer must not clamp-shift its dynamic_slice window
+    and route earlier buckets' pairs to the wrong owner.
+
+    Construction (P=8, rows_per=8, edge_cap=128, pair_cap=32): device 0's
+    frontier expands to 124 pairs — owners 0..5 get 20 each (none exceeds
+    pair_cap, so no overflow fallback), owner 7's 4 pairs start at s=120
+    with s + pair_cap = 152 > 128."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from graphblast_tpu.parallel import ops as dops
+
+    n = 64
+    rows, cols = [], []
+    for b in range(6):            # row 0 → 20 edges into each block 0..5
+        for e in range(20):
+            rows.append(0)
+            cols.append(8 * b + (e % 8))
+    for c in (56, 57, 58, 59):    # row 1 → 4 edges into block 7
+        rows.append(1)
+        cols.append(c)
+    # duplicate-free CSR is not required for structure-only push, but
+    # from_coo dedups — build the Matrix directly from CSR arrays instead
+    import jax.numpy as jnp
+    order = np.lexsort((cols, rows))
+    r_np = np.asarray(rows, np.int32)[order]
+    c_np = np.asarray(cols, np.int32)[order]
+    ptr = np.zeros(n + 1, np.int64)
+    np.add.at(ptr, r_np + 1, 1)
+    ptr = np.cumsum(ptr)
+    from graphblast_tpu.matrix import Matrix
+    from graphblast_tpu.types import SparseFormat
+    A = Matrix(n, n, len(r_np), jnp.asarray(ptr.astype(np.int32)),
+               jnp.asarray(c_np), jnp.asarray(r_np),
+               jnp.ones(len(r_np), jnp.float32),
+               None, None, None, None, format=SparseFormat.CSRONLY)
+    Ash = partition(A, mesh)
+    P, rows_per, n_pad = Ash.P, Ash.rows_per, Ash.n_pad
+    assert rows_per == 8
+    edge_cap, pair_cap = 128, 32
+
+    f = np.zeros(n_pad, np.float32)
+    f[[0, 1]] = 1.0
+    P_ = jax.sharding.PartitionSpec
+    vspec = P_("x")
+
+    def step(kind, Ash, fblock):
+        f_ind, f_val, f_nv = dops.local_frontier(fblock, 0.0)
+        if kind == "sparse":
+            return dops.dist_vxm_push_sparse(
+                Ash.csr_ptr[0], Ash.csr_ind[0], Ash.csr_val[0],
+                f_ind, None, f_nv, LogicalOrAndSemiring, P, rows_per,
+                edge_cap, pair_cap, structure_only=True)
+        return dops.dist_vxm_push(
+            Ash.csr_ptr[0], Ash.csr_ind[0], Ash.csr_val[0],
+            f_ind, None, f_nv, LogicalOrAndSemiring, P, rows_per,
+            edge_cap, structure_only=True)
+
+    sh = jax.sharding.NamedSharding(mesh, vspec)
+    fdev = jax.device_put(jnp.asarray(f), sh)
+    outs = {}
+    for kind in ("sparse", "dense"):
+        fn = jax.jit(jax.shard_map(
+            functools.partial(step, kind),
+            mesh=mesh, in_specs=(P_("x", None), vspec),
+            out_specs=vspec, check_vma=False))
+        outs[kind] = np.asarray(fn(Ash, fdev))
+    # golden: exactly the columns reachable from rows {0,1}
+    want = np.zeros(n_pad, bool)
+    want[np.unique(c_np)] = True
+    np.testing.assert_array_equal(outs["dense"] != 0, want)
+    np.testing.assert_array_equal(outs["sparse"] != 0, want)

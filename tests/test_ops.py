@@ -445,3 +445,50 @@ def test_ewise_mult_sparse_dense_keeps_sparsity(rng):
     got_dense = gb.eWiseMult(u.to_dense(0), v, Multiplies)
     np.testing.assert_allclose(np.asarray(got_dense.to_numpy()), want,
                                rtol=1e-6)
+
+
+def test_apply_matrix_host_and_device(chesapeake):
+    """apply_matrix: traced device path vs host-functor path (the reference's
+    GrB_BACKEND=GrB_SEQUENTIAL toggle, apply.hpp:102-111) agree, and a
+    stateful Python functor works on the cpu backend."""
+    import jax.numpy as jnp
+
+    from graphblast_tpu.descriptor import Descriptor
+    from graphblast_tpu.operations import apply_matrix
+
+    A = chesapeake
+    dev = apply_matrix(A, lambda v: v * 2.0 + 1.0)
+    host = apply_matrix(A, lambda v: v * 2.0 + 1.0,
+                        Descriptor(backend="cpu"))
+    m = A.nvals
+    np.testing.assert_allclose(np.asarray(dev.val), np.asarray(host.val))
+    np.testing.assert_allclose(np.asarray(dev.val)[:m],
+                               np.asarray(A.val)[:m] * 2.0 + 1.0)
+    # pad slots must stay inert (zero), not become fn(0)
+    np.testing.assert_allclose(np.asarray(dev.val)[m:], 0.0)
+    if A.csc_val is not None:
+        np.testing.assert_allclose(np.asarray(dev.csc_val),
+                                   np.asarray(host.csc_val))
+
+    # stateful host functor — impossible to trace, the whole reason the
+    # reference runs matrix apply on its sequential backend
+    state = {"calls": 0}
+
+    def stateful(x):
+        state["calls"] += 1
+        return x + state["calls"] % 2
+
+    out = apply_matrix(A, stateful, Descriptor(backend="cpu"))
+    assert state["calls"] >= A.nvals
+    assert out.nvals == A.nvals
+
+
+def test_apply_vector_cpu_backend(rng):
+    from graphblast_tpu.descriptor import Descriptor
+    from graphblast_tpu.operations import apply
+    from graphblast_tpu.vector import Vector
+
+    x = rng.standard_normal(17).astype(np.float32)
+    u = Vector.dense_from(x)
+    got = apply(u, lambda v: v * v, desc=Descriptor(backend="cpu"))
+    np.testing.assert_allclose(np.asarray(got.dense), x * x, rtol=1e-6)
