@@ -458,7 +458,7 @@ def main():
         ("pr", "pr", args.scale, 1, 1.0),
         ("sssp", "sssp", args.scale, args.sources, 1.0),
         ("bfs_pushpull", "bfs_pushpull", args.scale, args.sources, 1.0),
-        ("tc", "tc", min(args.scale, 15), 1, 2.0),
+        ("tc", "tc", min(args.scale, 18), 1, 1.0),
         ("bfs22", "bfs", 22, 2, 2.0),
         ("bfs24", "bfs", 24, 1, 2.0),
     ]

@@ -12,8 +12,10 @@ Two backends:
     systolic array IS the set-intersection engine. Exact (int8×int8→int32),
     one small compiled kernel (the sort-join path's ~15-minute remote
     compile at rmat15 was the round-1 bench's worst corner, VERDICT r1).
-  * Sparse sort-join masked SpGEMM for larger graphs (ops/spgemm.py —
-    re-derivation of kernels/spgemm.hpp:17-79).
+  * Sparse chunked sort-join-membership masked SpGEMM for larger graphs
+    (ops/spgemm.py spgemm_masked — re-derivation of kernels/spgemm.hpp:17-79
+    with the binary search replaced by a combined sort, and the expansion
+    chunked to O(max_lanes) memory so any scale fits).
 """
 from __future__ import annotations
 

@@ -307,7 +307,20 @@ class Matrix:
 
     # -- extraction (host side) ----------------------------------------------
     def extract_tuples(self):
-        """(rows, cols, vals) of stored entries (reference: matrix.hpp:171-194)."""
+        """(rows, cols, vals) of stored entries (reference: matrix.hpp:171-194).
+
+        Prefers the host CSR stash: a device fetch over the tunneled TPU
+        relay runs at ~0.5 MB/s (CLAUDE.md) — minutes for large edge
+        arrays."""
+        host = getattr(self, "_host_csr", None)
+        if host is not None and (host[2] is not None or self.val is None):
+            ptr = np.asarray(host[0])[: self.nrows + 1]
+            r = np.repeat(np.arange(self.nrows, dtype=np.int64),
+                          np.diff(ptr))[: self.nvals]
+            c = np.asarray(host[1])[: self.nvals]
+            v = (np.asarray(host[2])[: self.nvals] if host[2] is not None
+                 else np.ones(self.nvals, self.dtype))
+            return r, c, v
         r = np.asarray(self.row_ind)[: self.nvals]
         c = np.asarray(self.col_ind)[: self.nvals]
         v = np.asarray(self.val)[: self.nvals]

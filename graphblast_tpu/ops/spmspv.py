@@ -150,9 +150,20 @@ def spmspv_push(
 
     if structure_only and add_name in ("LogicalOrMonoid", "MaximumMonoid"):
         # struconly bitmap push (reference: spmspv_inner.hpp:133-134, 292-299):
-        # duplicate-insensitive scatter of ones — skips sort AND reduce.
-        y = (jnp.full((n_out,), ident, out_dtype)
-             .at[tgt].max(jnp.ones((edge_cap,), out_dtype), mode="drop"))
+        # duplicate-insensitive ones — skips the ⊕-reduce entirely. Two
+        # lowerings: random scatter-max, or single-key sort + sorted
+        # all-identical set-scatter (GRB_PUSH_BITMAP_SORT=1; the duplicate
+        # writes are identical so sorted-set is deterministic).
+        import os as _os
+
+        if _os.environ.get("GRB_PUSH_BITMAP_SORT", "0") == "1":
+            keys = jax.lax.sort(tgt, is_stable=False)
+            y = (jnp.full((n_out,), ident, out_dtype)
+                 .at[keys].set(jnp.ones((), out_dtype), mode="drop",
+                               indices_are_sorted=True))
+        else:
+            y = (jnp.full((n_out,), ident, out_dtype)
+                 .at[tgt].max(jnp.ones((edge_cap,), out_dtype), mode="drop"))
     elif not sort_push and add_name in ("PlusMonoid", "MinimumMonoid",
                                         "MaximumMonoid", "LogicalOrMonoid"):
         # SIMPLE load-balance mode (reference: kernels/spmspv.hpp:92-184
@@ -169,16 +180,50 @@ def spmspv_push(
             y = base.at[tgt].max(jnp.where(valid, (mv != 0).astype(out_dtype),
                                            jnp.zeros((), out_dtype)), mode="drop")
     else:
-        # MERGE mode: key-value sort then segmented ⊕-reduce
-        # (reference: spmspv_inner.hpp:219-317). lax.sort is stable on TPU;
-        # invalid lanes carry key n_out, sort to the tail, and are dropped.
-        keys, vals = jax.lax.sort((tgt, mv), num_keys=1, is_stable=False)
-        heads = jnp.concatenate([jnp.ones((1,), jnp.bool_), keys[1:] != keys[:-1]])
-        scanned = segmented_scan(vals, heads, semiring.add)
-        tails = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), jnp.bool_)])
-        scatter_tgt = jnp.where(tails, keys, n_out)
+        # MERGE mode (reference: spmspv_inner.hpp:219-317), monoid-
+        # specialized:
+        #   Min/Max → sort with the VALUE as a secondary key: the segment
+        #     head (Min) / tail (Max) IS the reduction — no segmented scan
+        #     at all (the endbit-spirit narrowing of r2's full
+        #     sort+Hillis-Steele pipeline, VERDICT r2 next-#3).
+        #   generic ⊕ → key sort + segmented scan as before.
+        # The final scatter broadcasts the segment result to EVERY lane so
+        # the write indices stay globally sorted with all duplicates
+        # identical — deterministic, and eligible for XLA's sorted-scatter
+        # lowering (indices_are_sorted).
+        from .gather_dispatch import take
+
+        add_name2 = semiring.add.name
+        if add_name2 in ("MinimumMonoid", "MaximumMonoid"):
+            keys, vals = jax.lax.sort((tgt, mv), num_keys=2, is_stable=False)
+            heads = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                     keys[1:] != keys[:-1]])
+            pos = jnp.arange(edge_cap, dtype=INDEX_DTYPE)
+            if add_name2 == "MinimumMonoid":
+                # min value sits at the segment head — forward-fill it
+                fill_pos = jax.lax.cummax(jnp.where(heads, pos, 0))
+            else:
+                # max value sits at the segment tail — backward-fill it
+                tails = jnp.concatenate([keys[1:] != keys[:-1],
+                                         jnp.ones((1,), jnp.bool_)])
+                fill_pos = jnp.flip(edge_cap - 1 - jax.lax.cummax(
+                    jnp.where(jnp.flip(tails), pos, 0)))
+            seg_val = take(vals, fill_pos, sorted=True)
+        else:
+            keys, vals = jax.lax.sort((tgt, mv), num_keys=1, is_stable=False)
+            heads = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                     keys[1:] != keys[:-1]])
+            scanned = segmented_scan(vals, heads, semiring.add)
+            # inclusive scan holds the segment total at the TAIL —
+            # backward-fill it across the segment
+            pos = jnp.arange(edge_cap, dtype=INDEX_DTYPE)
+            tails = jnp.concatenate([keys[1:] != keys[:-1],
+                                     jnp.ones((1,), jnp.bool_)])
+            fill_pos = jnp.flip(edge_cap - 1 - jax.lax.cummax(
+                jnp.where(jnp.flip(tails), pos, 0)))
+            seg_val = take(scanned, fill_pos, sorted=True)
         y = (jnp.full((n_out,), ident, out_dtype)
-             .at[scatter_tgt].set(scanned, mode="drop"))
+             .at[keys].set(seg_val, mode="drop", indices_are_sorted=True))
 
     if mask_dense is not None:
         y = jnp.where(mask_pass(mask_dense, mask_scmp), y, ident)
