@@ -92,6 +92,29 @@ def dist_vxm_push(csr_ptr, csr_ind, csr_val, f_ind_local, f_val_local,
     return w_block
 
 
+def owner_buckets(csr_ptr, csr_ind, csr_val, f_ind_local, f_val_local,
+                  f_nvals_local, semiring: Semiring, P: int, rows_per: int,
+                  edge_cap: int, structure_only: bool, out_dtype):
+    """Expand the local frontier and group the (dst, value) pairs by owner
+    device: returns (owner_sorted, dst_local_sorted, val_sorted,
+    (bounds, counts)) where counts[k] is the LIVE pair count destined for
+    device k — the quantity the communication accounting predicts
+    (parallel/accounting.py sparse_push_live_pairs; tested in test_dist)."""
+    from ..ops.spmspv import expand_frontier
+
+    dst, mv, valid, _ = expand_frontier(
+        csr_ptr, csr_ind, csr_val, f_ind_local, f_val_local, f_nvals_local,
+        edge_cap, structure_only, semiring, out_dtype)
+    owner = jnp.where(valid, dst // rows_per, P).astype(INDEX_DTYPE)
+    dst_local = (dst - owner * rows_per).astype(INDEX_DTYPE)
+    ow_s, dl_s, mv_s = jax.lax.sort((owner, dst_local, mv), num_keys=1,
+                                    is_stable=False)
+    # per-owner group boundaries on the sorted owners (P+1 tiny queries)
+    bounds = jnp.searchsorted(ow_s, jnp.arange(P + 1, dtype=INDEX_DTYPE))
+    counts = bounds[1:] - bounds[:-1]
+    return ow_s, dl_s, mv_s, (bounds, counts)
+
+
 def dist_vxm_push_sparse(csr_ptr, csr_ind, csr_val, f_ind_local, f_val_local,
                          f_nvals_local, semiring: Semiring, P: int,
                          rows_per: int, edge_cap: int, pair_cap: int,
@@ -115,20 +138,15 @@ def dist_vxm_push_sparse(csr_ptr, csr_ind, csr_val, f_ind_local, f_val_local,
     dense-partial exchange via lax.cond (both paths compile; one executes —
     the memusage-style bound-with-fallback idiom, spmspv_inner.hpp:51-59).
     """
-    from ..ops.spmspv import expand_frontier
     from ..ops.segops import segmented_scan
 
     out_dtype = (f_val_local.dtype if f_val_local is not None
                  else jnp.float32)
     ident = semiring.identity(out_dtype)
-    dst, mv, valid, _ = expand_frontier(
+    ow_s, dl_s, mv_s, bounds_counts = owner_buckets(
         csr_ptr, csr_ind, csr_val, f_ind_local, f_val_local, f_nvals_local,
-        edge_cap, structure_only, semiring, out_dtype)
-
-    owner = jnp.where(valid, dst // rows_per, P).astype(INDEX_DTYPE)
-    dst_local = (dst - owner * rows_per).astype(INDEX_DTYPE)
-    ow_s, dl_s, mv_s = jax.lax.sort((owner, dst_local, mv), num_keys=1,
-                                    is_stable=False)
+        semiring, P, rows_per, edge_cap, structure_only, out_dtype)
+    bounds, counts = bounds_counts
     # Sentinel-pad by pair_cap so dynamic_slice(s, pair_cap) never clamps:
     # a bucket starting within pair_cap of the buffer end would otherwise
     # shift the window left and route earlier buckets' pairs to the wrong
@@ -136,9 +154,6 @@ def dist_vxm_push_sparse(csr_ptr, csr_ind, csr_val, f_ind_local, f_val_local,
     dl_s = jnp.concatenate([dl_s, jnp.full((pair_cap,), rows_per,
                                            dl_s.dtype)])
     mv_s = jnp.concatenate([mv_s, jnp.full((pair_cap,), ident, mv_s.dtype)])
-    # per-owner group boundaries on the sorted owners (P+1 tiny queries)
-    bounds = jnp.searchsorted(ow_s, jnp.arange(P + 1, dtype=INDEX_DTYPE))
-    counts = bounds[1:] - bounds[:-1]
     overflow = jnp.any(counts > pair_cap)
 
     def sparse_path(_):

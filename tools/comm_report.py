@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Generate docs/comm_volume.md — per-algorithm per-iteration ICI traffic
+vs local compute, with projected no-overlap efficiency on a v5p-16 slice
+(VERDICT r2 next-#7). The formulas live in parallel/accounting.py and are
+cross-checked against the device-side owner bucketing by
+tests/test_dist.py::test_sparse_push_volume_scales_with_frontier.
+
+Usage: python tools/comm_report.py [--out docs/comm_volume.md]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from graphblast_tpu.parallel import accounting as acc
+
+
+HEADER = """# Distributed communication accounting
+
+Per-device, per-iteration ICI traffic for every distributed algorithm,
+computed analytically from shard shapes (`parallel/accounting.py`), plus the
+projected compute fraction on a v5p-16 slice (8 chips, assumptions in the
+table captions). This is the evidence layer behind the >=70% scaling target
+(BASELINE.md): the virtual CPU mesh used by tests measures correctness of
+the exchanges, not ICI time, so the volumes are derived and cross-checked:
+
+* `tests/test_dist.py::test_sparse_push_volume_scales_with_frontier`
+  asserts the device-side owner bucketing's live pair counts equal
+  `accounting.sparse_push_live_pairs` ground truth and grow with frontier
+  size.
+* The collective cost model is the standard ring decomposition
+  (all_gather / reduce_scatter move `(P-1)/P * payload` per device;
+  all_to_all moves `(P-1) * block`; ppermute moves one block per stage).
+
+The efficiency column is the SCALING efficiency: with per-device compute
+time t_comp = compute_bytes / HBM and exchange time t_comm = comm_bytes /
+ICI, edges/s at P chips over P x edges/s at one chip equals
+t_comp / (t_comp + t_comm) when the one-chip run is HBM-bound (no overlap
+assumed — a lower bound for the ppermute-staged variants).
+
+Assumptions: v5p HBM ~2765 GB/s per chip; ICI 600 GB/s per chip (the
+public v5p figure: 4,800 Gbps interchip bandwidth per chip), with a
+conservative 90 GB/s sensitivity column. Regenerate with
+`python tools/comm_report.py`; refresh with measured numbers when
+multi-chip hardware is available.
+
+Key design consequences visible in the numbers:
+
+1. **Pull's all_gather is O(n) per device** regardless of P. At the v5p
+   ICI figure the 1D pull projects ~70% scaling at P=8 on ef16 graphs —
+   right at the target — and the **2D SUMMA layout projects ~80%+** by
+   cutting the exchange to O(n/sqrt(P)); 2D is the scaling headroom lever
+   (already implemented for PR, comm="2d").
+2. **The sparse push exchange replaces an O(n) psum_scatter with an
+   O(P*pair_cap) all_to_all** — frontier-proportional, which is why the
+   dual-direction distributed BFS wins on sparse iterations; its static
+   buffer should be tuned down to the expected frontier, not worst case.
+3. **Ring PR / ring TC overlap their ppermute stages with local compute**,
+   so their no-overlap efficiencies below are lower bounds.
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "docs", "comm_volume.md"))
+    args = ap.parse_args()
+
+    sections = []
+    for scale, ef in ((18, 16), (22, 16), (25, 16)):
+        n = 1 << scale
+        nnz = ef * n * 2     # undirected doubling
+        P = 8
+        pair_cap = max(nnz // 2 // P // P // 256 * 256, 256)
+        for frontier_frac, tag in ((0.01, "sparse frontier (1% of edges)"),
+                                   (0.30, "dense-ish frontier (30%)")):
+            fe = int(nnz * frontier_frac)
+            sections.append(
+                f"\n## rmat{scale} ef{ef} — P=8 (v5p-16), {tag}\n\n"
+                f"n = {n:,}, nnz = {nnz:,}, frontier edges = {fe:,}, "
+                f"pair_cap = {pair_cap:,}\n\n"
+                + acc.report(n, nnz, P, pair_cap, fe))
+
+    with open(args.out, "w") as f:
+        f.write(HEADER + "\n".join(sections) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
