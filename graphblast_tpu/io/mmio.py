@@ -168,14 +168,25 @@ def coo_to_csc(rows, cols, vals, ncols):
     return coo_to_csr(cols, rows, vals, ncols)
 
 
-def write_mtx(path, rows, cols, vals, nrows, ncols, field="real", symmetry="general"):
-    """Write COO to a MatrixMarket file (round-trip support for tooling)."""
-    with open(path, "w") as f:
-        f.write(f"%%MatrixMarket matrix coordinate {field} {symmetry}\n")
-        f.write(f"{nrows} {ncols} {len(rows)}\n")
-        if field == "pattern":
-            for r, c in zip(rows, cols):
-                f.write(f"{r + 1} {c + 1}\n")
-        else:
-            for r, c, v in zip(rows, cols, vals):
-                f.write(f"{r + 1} {c + 1} {v:.9g}\n")
+def write_mtx(path, rows, cols, vals, nrows, ncols, field="real",
+              symmetry="general", chunk: int = 1 << 22):
+    """Write COO to a MatrixMarket file (round-trip support for tooling;
+    chunked np.savetxt so multi-GB files write at C-loop speed)."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    m = len(rows)
+    with open(path, "wb") as f:
+        f.write(f"%%MatrixMarket matrix coordinate {field} {symmetry}\n"
+                .encode())
+        f.write(f"{nrows} {ncols} {m}\n".encode())
+        for s in range(0, m, chunk):
+            t = min(s + chunk, m)
+            if field == "pattern":
+                np.savetxt(f, np.column_stack([rows[s:t] + 1, cols[s:t] + 1]),
+                           fmt="%d %d")
+            else:
+                np.savetxt(
+                    f, np.column_stack([(rows[s:t] + 1).astype(np.float64),
+                                        (cols[s:t] + 1).astype(np.float64),
+                                        np.asarray(vals)[s:t]]),
+                    fmt="%d %d %.9g")
