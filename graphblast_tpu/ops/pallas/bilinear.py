@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -75,11 +76,15 @@ class BilinearPlan:
     val: jnp.ndarray
     c_off: jnp.ndarray
     r_off: jnp.ndarray
+    smin: jnp.ndarray        # (nsb,) per-sub-block x-window sweep bounds:
+    smax: jnp.ndarray        # edges are chi-sorted within each tile, so the
+    #                          sweep visits only [smin, smax] of the 32 rows
     unit_vals: bool = False  # True iff built with all-ones values — only
     #                          such plans may serve LogicalOrAnd via count>0
 
     def tree_flatten(self):
-        return ((self.loc, self.val, self.c_off, self.r_off),
+        return ((self.loc, self.val, self.c_off, self.r_off,
+                 self.smin, self.smax),
                 (self.n_out, self.n_in, self.n_out_pad, self.n_in_pad,
                  self.m_pad, self.unit_vals))
 
@@ -106,6 +111,7 @@ def build_plan(ptr, ind, val, n_out: int, n_in: int) -> BilinearPlan:
             n_out, n_in, n_out_pad, n_in_pad, chunk,
             jnp.zeros((chunk,), jnp.int32), jnp.zeros((chunk,), jnp.float32),
             jnp.zeros((nsb,), jnp.int32), jnp.zeros((nsb,), jnp.int32),
+            jnp.zeros((nsb,), jnp.int32), jnp.zeros((nsb,), jnp.int32),
             unit_vals=val is None)
 
     rows = np.repeat(np.arange(n_out, dtype=np.int64), np.diff(ptr_np))
@@ -115,7 +121,11 @@ def build_plan(ptr, ind, val, n_out: int, n_in: int) -> BilinearPlan:
 
     n_cb = n_in_pad >> W_BITS
     tile = (rows >> W_BITS) * n_cb + (cols >> W_BITS)
-    order = np.argsort(tile, kind="stable")
+    # secondary sort key: x-window row chi = (col within window) // LANE —
+    # each sub-block then spans a narrow [smin, smax] sweep range instead
+    # of all W_ROWS (the gather.py per-chunk pruning idea applied here)
+    chi_all = ((cols & (W - 1)) >> 7).astype(np.int32)
+    order = np.lexsort((chi_all, tile))
     t_sorted = tile[order]
 
     head = np.r_[True, t_sorted[1:] != t_sorted[:-1]]
@@ -145,13 +155,27 @@ def build_plan(ptr, ind, val, n_out: int, n_in: int) -> BilinearPlan:
     c_off = ((sb_tile % n_cb) * W_ROWS).astype(np.int32)
     r_off = ((sb_tile // n_cb) * W_ROWS).astype(np.int32)
 
+    # per-sub-block sweep bounds over REAL entries (pad slots carry value 0,
+    # so sweeping past them is harmless but never required); dummy blocks
+    # sweep exactly one row
+    chi_min = np.full(m_pad, W_ROWS, np.int32)
+    chi_min[pos] = chi_all[order]
+    chi_max = np.full(m_pad, -1, np.int32)
+    chi_max[pos] = chi_all[order]
+    smin = np.minimum(chi_min.reshape(nsb, SUB).min(1), W_ROWS - 1)
+    smax = np.maximum(chi_max.reshape(nsb, SUB).max(1), 0)
+    smax = np.maximum(smax, smin)
+
     return BilinearPlan(n_out, n_in, n_out_pad, n_in_pad, m_pad,
                         jnp.asarray(loc), jnp.asarray(vstream),
                         jnp.asarray(c_off), jnp.asarray(r_off),
+                        jnp.asarray(smin), jnp.asarray(smax),
                         unit_vals=val is None)
 
 
-def _kernel(c_off_ref, r_off_ref, x_ref, loc_ref, val_ref, y_ref):
+def _kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
+            x_ref, loc_ref, val_ref, y_ref, *, matmul: str = "highest",
+            sweep: str = "fori"):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -169,14 +193,25 @@ def _kernel(c_off_ref, r_off_ref, x_ref, loc_ref, val_ref, y_ref):
         chi = cl >> 7
         clo = cl & (LANE - 1)
 
-        # window sweep, python-unrolled: fori overhead on single-vreg
-        # bodies costs more than the ops themselves
-        xg = jnp.zeros(clo.shape, y_ref.dtype)
-        for s in range(W_ROWS):
+        def _sweep_step(s, xg):
             row = x_ref[pl.ds(c0 + s, 1), :]
             cand = jnp.take_along_axis(
                 jnp.broadcast_to(row, clo.shape), clo, axis=1)
-            xg = jnp.where(chi == s, cand, xg)
+            return jnp.where(chi == s, cand, xg)
+
+        if sweep == "fori":
+            # edges are chi-sorted within each tile (build_plan lexsort), so
+            # [smin, smax] typically covers a fraction of the W_ROWS window
+            # (the gather.py per-chunk range-pruning idea applied here)
+            xg = jax.lax.fori_loop(smin_ref[base], smax_ref[base] + 1,
+                                   _sweep_step,
+                                   jnp.zeros(clo.shape, y_ref.dtype))
+        else:
+            # full python-unrolled sweep (r2 behavior): no loop-counter
+            # overhead, always W_ROWS passes
+            xg = jnp.zeros(clo.shape, y_ref.dtype)
+            for s in range(W_ROWS):
+                xg = _sweep_step(s, xg)
         p = xg * vv
 
         rl = lv >> W_BITS
@@ -186,37 +221,61 @@ def _kernel(c_off_ref, r_off_ref, x_ref, loc_ref, val_ref, y_ref):
         rlo = (rl & (LANE - 1)).reshape(1, SUB)
         pf = p.reshape(1, SUB)
 
-        # M(32,128) = A(32,SUB) ·ᵀ Bt(128,SUB): one-hot bilinear, both
+        # M(32,128) = A(32,SUB) *T Bt(128,SUB): one-hot bilinear, both
         # one-hots built with q along lanes (no cross-lane relayouts)
         ia = jax.lax.broadcasted_iota(jnp.int32, (W_ROWS, SUB), 0)
+        ib = jax.lax.broadcasted_iota(jnp.int32, (LANE, SUB), 0)
         A = jnp.where(jnp.broadcast_to(rhi, (W_ROWS, SUB)) == ia,
                       jnp.broadcast_to(pf, (W_ROWS, SUB)), 0.0)
-        ib = jax.lax.broadcasted_iota(jnp.int32, (LANE, SUB), 0)
-        Bt = (jnp.broadcast_to(rlo, (LANE, SUB)) == ib).astype(y_ref.dtype)
-        # HIGHEST: TPU DEFAULT truncates f32 operands to one bf16 pass
-        # (measured 1.2e-3 rel err vs 5e-5 for true f32 accumulation).
-        # Per-operand precision (Bt is exact in bf16) is not lowered by
-        # Mosaic ("Per-operand dot precision unsupported").
-        M = jax.lax.dot_general(A, Bt, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
+        hot_b = jnp.broadcast_to(rlo, (LANE, SUB)) == ib
+        if matmul == "hilo":
+            # two DEFAULT-precision bf16 passes on a hi/lo split of the
+            # product stream: ~16-bit effective mantissa (rel err ~1e-5,
+            # well inside the reference's 1e-3 bar, test.hpp:7-17) at the
+            # full bf16 MXU rate - vs HIGHEST's multi-pass decomposition
+            Bt = hot_b.astype(jnp.bfloat16)   # 0/1: exact in bf16
+            A_hi = A.astype(jnp.bfloat16)
+            A_lo = (A - A_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            M = jax.lax.dot_general(A_hi, Bt, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            M = M + jax.lax.dot_general(A_lo, Bt, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        else:
+            Bt = hot_b.astype(y_ref.dtype)
+            # HIGHEST: TPU DEFAULT truncates f32 operands to one bf16 pass
+            # (measured 1.2e-3 rel err vs 5e-5 for true f32 accumulation).
+            # Per-operand precision (Bt is exact in bf16) is not lowered by
+            # Mosaic ("Per-operand dot precision unsupported").
+            M = jax.lax.dot_general(A, Bt, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
         y_ref[pl.ds(r0, W_ROWS), :] += M
 
 
 def spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
-                  interpret: Optional[bool] = None) -> jnp.ndarray:
+                  interpret: Optional[bool] = None,
+                  matmul: Optional[str] = None,
+                  sweep: Optional[str] = None) -> jnp.ndarray:
     """y[0:n_out] = Σ products routed by the plan; Plus monoid only.
 
     interpret defaults to True off-TPU so the same call sites work (slowly)
-    under the CPU test backend."""
+    under the CPU test backend. matmul ∈ {highest, hilo} and sweep ∈
+    {fori, unroll} select the scatter-precision / window-sweep variants
+    (env GRB_BILINEAR_MATMUL / GRB_BILINEAR_SWEEP; defaults measured best
+    on v5 lite, tools/tpu_bilinear_test.py)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _spmv_bilinear(plan, x, interpret)
+    if matmul is None:
+        matmul = os.environ.get("GRB_BILINEAR_MATMUL", "highest").lower()
+    if sweep is None:
+        sweep = os.environ.get("GRB_BILINEAR_SWEEP", "fori").lower()
+    return _spmv_bilinear(plan, x, interpret, matmul, sweep)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "matmul", "sweep"))
 def _spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False, matmul: str = "highest",
+                   sweep: str = "fori") -> jnp.ndarray:
     n_in_pad, n_out_pad = plan.n_in_pad, plan.n_out_pad
     x_p = jnp.pad(x.astype(jnp.float32), (0, n_in_pad - x.shape[0]))
     x2d = x_p.reshape(n_in_pad // LANE, LANE)
@@ -225,25 +284,25 @@ def _spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
     n_chunks = plan.m_pad // (CHUNK_SUBS * SUB)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x table
-            pl.BlockSpec((chunk_rows, LANE), lambda c, co, ro: (c, 0),
+            pl.BlockSpec((chunk_rows, LANE), lambda c, *_: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk_rows, LANE), lambda c, co, ro: (c, 0),
+            pl.BlockSpec((chunk_rows, LANE), lambda c, *_: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n_out_pad // LANE, LANE),
-                               lambda c, co, ro: (0, 0),
+                               lambda c, *_: (0, 0),
                                memory_space=pltpu.VMEM),
     )
     y2d = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, matmul=matmul, sweep=sweep),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out_pad // LANE, LANE), jnp.float32),
         interpret=interpret,
-    )(plan.c_off, plan.r_off, x2d,
+    )(plan.c_off, plan.r_off, plan.smin, plan.smax, x2d,
       plan.loc.reshape(-1, LANE), plan.val.reshape(-1, LANE))
     return y2d.reshape(-1)[:plan.n_out]
 
