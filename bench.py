@@ -449,6 +449,25 @@ def main():
         return run_stage(args, args.stage)
 
     t_start = time.perf_counter()
+    # Relay liveness probe (the axon tunnel has been observed DOWN for hours:
+    # backend init then hangs, and without this every stage would burn its
+    # full 900-s timeout against a dead relay). A trivial jit must answer
+    # within GRB_BENCH_PROBE_TIMEOUT (default 300 s, covering relay startup);
+    # on failure only the headline BFS stage is still attempted (in case the
+    # relay returns mid-run) before emitting the record and exiting.
+    probe_tmo = float(os.environ.get("GRB_BENCH_PROBE_TIMEOUT", "300"))
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy as np, jax.numpy as jnp;"
+             "print(np.asarray(jax.jit(lambda x: x * 2 + 1)"
+             "(jnp.arange(8.0))[0]))"],
+            capture_output=True, timeout=probe_tmo, check=True)
+        device_up = True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        device_up = False
+        print(f"[probe] TPU relay unreachable within {probe_tmo:.0f}s — "
+              "attempting headline BFS only", file=sys.stderr, flush=True)
     # (stage key, real stage, scale, sources, timeout multiplier) — ordered
     # cheapest/most-valuable compile first so early results always land
     plan = [
@@ -463,6 +482,9 @@ def main():
         ("bfs24", "bfs", 24, 1, 2.0),
     ]
     merged = {"stages_done": [], "stages_skipped": []}
+    if not device_up:
+        merged["device"] = "unreachable"
+        plan = [p for p in plan if p[0] == "bfs"]
     for stage, real_stage, stage_scale, nsources, mult in plan:
         if stage in ("bfs22", "bfs24") and args.scale >= stage_scale:
             continue   # main scale already covers it
