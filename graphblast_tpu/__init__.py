@@ -53,6 +53,7 @@ from .semiring import (
     CustomLessLessSemiring, MinimumNotEqualToSemiring,
 )
 from .matrix import Matrix
+from .dense_matrix import DenseMatrix, gemm, gemv
 from .vector import Vector
 from .operations import (
     apply,

@@ -182,8 +182,11 @@ def mxm_dense(A: Matrix, B, semiring: Semiring,
     gather from the op, so it is provided as a first-class extension."""
     import jax.numpy as jnp
 
+    from .dense_matrix import DenseMatrix
     from .ops.spmm import spmm
 
+    if isinstance(B, DenseMatrix):
+        B = B.data
     B = jnp.asarray(B)
     _check(B.ndim == 2 and B.shape[0] == A.ncols,
            f"dim mismatch: B {B.shape} vs A.ncols={A.ncols}")
