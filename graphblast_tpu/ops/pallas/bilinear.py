@@ -337,11 +337,11 @@ CHUNKB_SUBS = 8              # so the bigger granularity stays low-padding
 @dataclasses.dataclass(frozen=True)
 class BitmapPlan:
     """Static tiling for spmv_bilinear_bitmap. loc packs
-    (valid<<29 | row_loc<<17 | col_loc); c_blk/rp per sub-block/chunk."""
+    (valid<<30 | row_loc<<17 | col_loc); c_blk/rp per sub-block/chunk."""
 
     n_out: int
     n_in: int
-    n_out_pad: int           # round_up(n_out, W)   (4096-row panels)
+    n_out_pad: int           # round_up(n_out, 1<<wp_bits)  (row panels)
     n_wrows: int             # bitmap word-rows incl. zero padding
     m_pad: int
     loc: jnp.ndarray
@@ -357,23 +357,36 @@ class BitmapPlan:
     dma_cblk: bool = False   # True → c_blk is (n_chunks,128) rows DMA'd
     #                          from HBM per chunk; False → flat (nsb,)
     #                          scalar-prefetch (fits SMEM below ~scale 23)
+    wp_bits: int = 12        # output row-panel width: 4096 rows (12) for
+    #                          most plans, 8192 (13) above ~scale 23 — halves
+    #                          the tile count, so the per-tile SUBB padding
+    #                          that doubles the scale-24 edge stream shrinks
+    #                          (docs/scale_audit.md round-3 note). 13 bits of
+    #                          row_loc + valid<<30 caps the int32 pack.
 
     def tree_flatten(self):
         return ((self.loc, self.c_blk, self.rp, self.visited),
                 (self.n_out, self.n_in, self.n_out_pad, self.n_wrows,
-                 self.m_pad, self.dma_cblk))
+                 self.m_pad, self.dma_cblk, self.wp_bits))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        *dims, dma = aux
-        return cls(*dims, *leaves, dma_cblk=dma)
+        *dims, dma, wpb = aux
+        return cls(*dims, *leaves, dma_cblk=dma, wp_bits=wpb)
 
 
-def build_plan_bitmap(ptr, ind, n_out: int, n_in: int) -> BitmapPlan:
-    """Host tiling pass for the bitmap kernel (struconly: values ignored)."""
+def build_plan_bitmap(ptr, ind, n_out: int, n_in: int,
+                      wp_bits: Optional[int] = None) -> BitmapPlan:
+    """Host tiling pass for the bitmap kernel (struconly: values ignored).
+
+    wp_bits overrides the output-panel width (testing hook; default picks
+    13 for huge row counts, else 12)."""
     ptr_np = np.asarray(ptr, dtype=np.int64)
     m = int(ptr_np[-1])
-    n_out_pad = max(round_up(n_out, W), W)
+    if wp_bits is None:
+        wp_bits = 13 if n_out > (1 << 23) else 12
+    Wp = 1 << wp_bits
+    n_out_pad = max(round_up(n_out, Wp), Wp)
     n_cb = max(round_up(n_in, WB), WB) >> WB_BITS
     n_wrows = n_cb * (WB // 32 // LANE)          # 32 word-rows per window
     chunk = SUBB * CHUNKB_SUBS
@@ -385,12 +398,13 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int) -> BitmapPlan:
             jnp.zeros((chunk,), jnp.int32),
             jnp.zeros((chunk // SUBB,), jnp.int32),
             jnp.zeros((nch,), jnp.int32),
-            jnp.zeros((n_out_pad // LANE,), jnp.float32), dma_cblk=False)
+            jnp.zeros((n_out_pad // LANE,), jnp.float32), dma_cblk=False,
+            wp_bits=wp_bits)
 
     rows = np.repeat(np.arange(n_out, dtype=np.int64), np.diff(ptr_np))
     cols = np.asarray(ind, dtype=np.int64)[:m]
 
-    rp_e = rows >> W_BITS
+    rp_e = rows >> wp_bits
     tile = rp_e * n_cb + (cols >> WB_BITS)
     order = np.argsort(tile, kind="stable")
     t_sorted = tile[order]
@@ -419,10 +433,10 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int) -> BitmapPlan:
     within = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
     pos = np.repeat(tile_out.astype(np.int64), counts) + within
 
-    r_loc = (rows[order] & (W - 1)).astype(np.int32)
+    r_loc = (rows[order] & (Wp - 1)).astype(np.int32)
     c_loc = (cols[order] & (WB - 1)).astype(np.int32)
     loc = np.zeros(m_pad, np.int32)
-    loc[pos] = (1 << 29) | (r_loc << WB_BITS) | c_loc
+    loc[pos] = (1 << 30) | (r_loc << WB_BITS) | c_loc
 
     # per-sub-block window offsets
     nsb = m_pad // SUBB
@@ -450,17 +464,18 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int) -> BitmapPlan:
     ch_of_rp = rp_tot_pad // chunk
     rp_ids = np.repeat(tile_rp[rp_head], ch_of_rp)
     rp_c[: len(rp_ids)] = rp_ids
-    pmask = np.zeros(n_out_pad >> W_BITS, np.float32)
+    pmask = np.zeros(n_out_pad >> wp_bits, np.float32)
     pmask[np.unique(tile_rp)] = 1.0
-    visited = np.repeat(pmask, W // LANE)
+    visited = np.repeat(pmask, Wp // LANE)
     return BitmapPlan(n_out, n_in, n_out_pad, n_wrows, m_pad,
                       jnp.asarray(loc), jnp.asarray(c_blk),
                       jnp.asarray(rp_c, jnp.int32).reshape(-1),
-                      jnp.asarray(visited), dma_cblk=dma_cblk)
+                      jnp.asarray(visited), dma_cblk=dma_cblk,
+                      wp_bits=wp_bits)
 
 
 def _kernel_bitmap_dma(rp_ref, cblk_hbm, w_ref, loc_ref, y_ref, cb_smem,
-                       sem):
+                       sem, *, wp_rows: int = W_ROWS):
     c = pl.program_id(0)
     # this chunk's 8 window offsets: tiny HBM→SMEM DMA (the full per-sub-
     # block array is ~1 MB of int32 at scale 24 — over the SMEM budget as
@@ -475,10 +490,12 @@ def _kernel_bitmap_dma(rp_ref, cblk_hbm, w_ref, loc_ref, y_ref, cb_smem,
         y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
 
     copy.wait()
-    _bitmap_chunk_body(lambda sb: cb_smem[sb], c, w_ref, loc_ref, y_ref)
+    _bitmap_chunk_body(lambda sb: cb_smem[sb], c, w_ref, loc_ref, y_ref,
+                       wp_rows)
 
 
-def _kernel_bitmap_prefetch(cblk_ref, rp_ref, w_ref, loc_ref, y_ref):
+def _kernel_bitmap_prefetch(cblk_ref, rp_ref, w_ref, loc_ref, y_ref, *,
+                            wp_rows: int = W_ROWS):
     c = pl.program_id(0)
     first = jnp.logical_or(c == 0, rp_ref[c] != rp_ref[jnp.maximum(c - 1, 0)])
 
@@ -487,10 +504,10 @@ def _kernel_bitmap_prefetch(cblk_ref, rp_ref, w_ref, loc_ref, y_ref):
         y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
 
     _bitmap_chunk_body(lambda sb: cblk_ref[c * CHUNKB_SUBS + sb], c, w_ref,
-                       loc_ref, y_ref)
+                       loc_ref, y_ref, wp_rows)
 
 
-def _bitmap_chunk_body(c0_of, c, w_ref, loc_ref, y_ref):
+def _bitmap_chunk_body(c0_of, c, w_ref, loc_ref, y_ref, wp_rows):
     for sb in range(CHUNKB_SUBS):
         c0 = c0_of(sb)
         lv = loc_ref[sb * SUBB_ROWS:(sb + 1) * SUBB_ROWS, :]
@@ -507,21 +524,21 @@ def _bitmap_chunk_body(c0_of, c, w_ref, loc_ref, y_ref):
                 jnp.broadcast_to(row, wlo.shape), wlo, axis=1)
             wg = jnp.where(whi == s, cand, wg)
         bit = jax.lax.shift_right_logical(wg, bitpos) & 1
-        valid = jax.lax.shift_right_logical(lv, 29) & 1
+        valid = jax.lax.shift_right_logical(lv, 30) & 1
         # 0/1 products: int8 one-hots with int32 accumulation are exact
         # and run the MXU at its int8 rate. Build masks/selects in int32
         # ((8,128)-tiled) and cast to int8 only at the matmul operands —
         # Mosaic rejects i1 relayouts straight into the (32,128) int8 tiling
         p = bit & valid
 
-        rl = (lv >> WB_BITS) & (W - 1)
+        rl = (lv >> WB_BITS) & (wp_rows * LANE - 1)
         rhi = (rl >> 7).reshape(1, SUBB)
         rlo = (rl & (LANE - 1)).reshape(1, SUBB)
         pf = p.reshape(1, SUBB)
 
-        ia = jax.lax.broadcasted_iota(jnp.int32, (W_ROWS, SUBB), 0)
-        A = jnp.where(jnp.broadcast_to(rhi, (W_ROWS, SUBB)) == ia,
-                      jnp.broadcast_to(pf, (W_ROWS, SUBB)), 0)
+        ia = jax.lax.broadcasted_iota(jnp.int32, (wp_rows, SUBB), 0)
+        A = jnp.where(jnp.broadcast_to(rhi, (wp_rows, SUBB)) == ia,
+                      jnp.broadcast_to(pf, (wp_rows, SUBB)), 0)
         ib = jax.lax.broadcasted_iota(jnp.int32, (LANE, SUBB), 0)
         Bt = jnp.where(jnp.broadcast_to(rlo, (LANE, SUBB)) == ib, 1, 0)
         M = jax.lax.dot_general(A.astype(jnp.int8), Bt.astype(jnp.int8),
@@ -549,6 +566,7 @@ def _spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
 
     chunk_rows = CHUNKB_SUBS * SUBB_ROWS
     n_chunks = plan.m_pad // (CHUNKB_SUBS * SUBB)
+    wp_rows = (1 << plan.wp_bits) // LANE
 
     if plan.dma_cblk:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -560,14 +578,14 @@ def _spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
                 pl.BlockSpec((chunk_rows, LANE), lambda c, rp: (c, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((W_ROWS, LANE),
+            out_specs=pl.BlockSpec((wp_rows, LANE),
                                    lambda c, rp: (rp[c], 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.SMEM((LANE,), jnp.int32),
                             pltpu.SemaphoreType.DMA(())],
         )
         y2d = pl.pallas_call(
-            _kernel_bitmap_dma,
+            functools.partial(_kernel_bitmap_dma, wp_rows=wp_rows),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
                                            jnp.int32),
@@ -582,12 +600,12 @@ def _spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
                 pl.BlockSpec((chunk_rows, LANE), lambda c, cb, rp: (c, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((W_ROWS, LANE),
+            out_specs=pl.BlockSpec((wp_rows, LANE),
                                    lambda c, cb, rp: (rp[c], 0),
                                    memory_space=pltpu.VMEM),
         )
         y2d = pl.pallas_call(
-            _kernel_bitmap_prefetch,
+            functools.partial(_kernel_bitmap_prefetch, wp_rows=wp_rows),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
                                            jnp.int32),

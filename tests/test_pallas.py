@@ -153,13 +153,16 @@ def test_spmv_bilinear_struconly(rng):
     np.testing.assert_allclose(y, yref, atol=1e-3)
 
 
-@pytest.mark.parametrize("n_out,n_in,m", [
-    (500, 700, 3000),
-    (4096, 131072, 20000),    # dims exactly one (row, col) window
-    (20000, 9000, 1),         # unvisited output panels must read 0
-    (100, 50, 0),
+@pytest.mark.parametrize("n_out,n_in,m,wp_bits", [
+    (500, 700, 3000, None),
+    (4096, 131072, 20000, None),  # dims exactly one (row, col) window
+    (20000, 9000, 1, None),       # unvisited output panels must read 0
+    (100, 50, 0, None),
+    (20000, 9000, 5000, 13),      # wide (8192-row) panels: the scale-24
+    #                               layout, forced small (valid bit at 30,
+    #                               13-bit row_loc, (64,128) output blocks)
 ])
-def test_bitmap_bilinear(rng, n_out, n_in, m):
+def test_bitmap_bilinear(rng, n_out, n_in, m, wp_bits):
     from graphblast_tpu.ops.pallas.bilinear import (build_plan_bitmap,
                                                     spmv_bilinear_bitmap)
     from graphblast_tpu.ops.pallas.orpull import pack_bitmap
@@ -169,7 +172,7 @@ def test_bitmap_bilinear(rng, n_out, n_in, m):
     ptr = np.zeros(n_out + 1, np.int64)
     np.add.at(ptr, rows + 1, 1)
     ptr = np.cumsum(ptr)
-    plan = build_plan_bitmap(ptr, cols, n_out, n_in)
+    plan = build_plan_bitmap(ptr, cols, n_out, n_in, wp_bits=wp_bits)
     f = (rng.random(n_in) < 0.2).astype(np.float32)
     y = np.asarray(spmv_bilinear_bitmap(plan, pack_bitmap(jnp.asarray(f)),
                                         interpret=True))
