@@ -54,21 +54,22 @@ y64 = np.zeros(A.nrows, np.float64)
 np.add.at(y64, rows_h, val_np[:m].astype(np.float64) * x_h[ind_np[:m]].astype(np.float64))
 den = np.abs(y64).max()
 
-y_new = np.asarray(spmv_bilinear(plan, x))
-log(f"bilinear vs fp64: {np.abs(y_new - y64).max()/den:.2e}")
-y_old = np.asarray(spmv_pull_sorted(A.row_ptr, A.csc_col_ind, A.csc_row_ind,
-                                    A.csc_val, x, PlusMultipliesSemiring,
-                                    A.nrows, A.nvals))
-log(f"sorted   vs fp64: {np.abs(y_old - y64).max()/den:.2e}")
+# variant sweep (r3: chi-sorted fori pruning × hilo bf16 scatter); select
+# combos on the command line to bound the compile bill, e.g.
+#   python tools/tpu_bilinear_test.py 18 fori:hilo unroll:highest sorted
+combos = [a for a in sys.argv[2:]] or [
+    "unroll:highest", "fori:highest", "fori:hilo", "sorted"]
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def chain_new(x, reps):
-    def body(c, _):
-        y = spmv_bilinear(plan, c)
-        return c + y * 1e-30, ()
-    c, _ = jax.lax.scan(body, x, None, length=reps)
-    return c[0]
+def chain_for(sweep_mode, mm):
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def chain(x, reps):
+        def body(c, _):
+            y = spmv_bilinear(plan, c, matmul=mm, sweep=sweep_mode)
+            return c + y * 1e-30, ()
+        c, _ = jax.lax.scan(body, x, None, length=reps)
+        return c[0]
+    return chain
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -94,11 +95,20 @@ def marginal(fn, r1, r2):
     return per
 
 
-per_new = marginal(chain_new, 2, 12)
-log(f"bilinear: {per_new*1e3:.2f} ms/iter")
-per_old = marginal(chain_old, 2, 6)
-log(f"sorted:   {per_old*1e3:.2f} ms/iter")
 bytes_moved = A.nnz_pad * 12 + A.nrows * 8
-log(f"eff BW: bilinear {bytes_moved/per_new/1e9:.1f} GB/s, "
-    f"sorted {bytes_moved/per_old/1e9:.1f} GB/s; "
-    f"speedup {per_old/per_new:.1f}x")
+for combo in combos:
+    t0 = time.perf_counter()
+    if combo == "sorted":
+        y = np.asarray(spmv_pull_sorted(
+            A.row_ptr, A.csc_col_ind, A.csc_row_ind, A.csc_val, x,
+            PlusMultipliesSemiring, A.nrows, A.nvals))
+        err = np.abs(y - y64).max() / den
+        per = marginal(chain_old, 2, 6)
+    else:
+        sweep_mode, mm = combo.split(":")
+        y = np.asarray(spmv_bilinear(plan, x, matmul=mm, sweep=sweep_mode))
+        err = np.abs(y - y64).max() / den
+        per = marginal(chain_for(sweep_mode, mm), 2, 12)
+    log(f"{combo:16s} err={err:.2e}  {per*1e3:6.2f} ms/iter  "
+        f"{bytes_moved/per/1e9:6.1f} GB/s  "
+        f"(compile+run {time.perf_counter()-t0:.0f}s)")
