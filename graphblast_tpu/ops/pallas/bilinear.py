@@ -81,24 +81,36 @@ class BilinearPlan:
     #                          sweep visits only [smin, smax] of the 32 rows
     unit_vals: bool = False  # True iff built with all-ones values — only
     #                          such plans may serve LogicalOrAnd via count>0
+    loc2: Optional[jnp.ndarray] = None   # pack=2 plans: second edge of each
+    val2: Optional[jnp.ndarray] = None   # one-hot column (same tile + output
+    #                                      lane → shares the Bt one-hot, so
+    #                                      the MXU scatter runs 2 edges/column)
 
     def tree_flatten(self):
         return ((self.loc, self.val, self.c_off, self.r_off,
-                 self.smin, self.smax),
+                 self.smin, self.smax, self.loc2, self.val2),
                 (self.n_out, self.n_in, self.n_out_pad, self.n_in_pad,
                  self.m_pad, self.unit_vals))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         *dims, unit = aux
-        return cls(*dims, *leaves, unit_vals=unit)
+        return cls(*dims, *leaves[:6], unit_vals=unit,
+                   loc2=leaves[6], val2=leaves[7])
 
 
-def build_plan(ptr, ind, val, n_out: int, n_in: int) -> BilinearPlan:
+def build_plan(ptr, ind, val, n_out: int, n_in: int,
+               pack: int = 1) -> BilinearPlan:
     """Host-side tiling pass (numpy; analog of the reference's build-time
     coo2csr/csc preprocessing, util.hpp:501-572 — run once, reused every
     SpMV). `ptr`/`ind`/`val` describe the PULL orientation: y[i] =
-    Σ_{e ∈ seg i} val[e] · x[ind[e]]; val=None means all-ones (struconly)."""
+    Σ_{e ∈ seg i} val[e] · x[ind[e]]; val=None means all-ones (struconly).
+
+    pack=2 pairs edges sharing (tile, output lane) into one one-hot column:
+    the MXU scatter then runs two edges per column (A carries both products,
+    the shared Bt one-hot routes them to the same lane) — half the scatter
+    FLOPs when the kernel is MXU-bound. Unpaired edges pad their column's
+    second slot with a zero-value edge."""
     ptr_np = np.asarray(ptr, dtype=np.int64)
     m = int(ptr_np[-1])
     n_out_pad = max(round_up(n_out, W), W)
@@ -107,12 +119,15 @@ def build_plan(ptr, ind, val, n_out: int, n_in: int) -> BilinearPlan:
     if m == 0:
         chunk = SUB * CHUNK_SUBS
         nsb = CHUNK_SUBS
+        z = jnp.zeros((chunk,), jnp.int32)
+        zf = jnp.zeros((chunk,), jnp.float32)
         return BilinearPlan(
             n_out, n_in, n_out_pad, n_in_pad, chunk,
-            jnp.zeros((chunk,), jnp.int32), jnp.zeros((chunk,), jnp.float32),
+            z, zf,
             jnp.zeros((nsb,), jnp.int32), jnp.zeros((nsb,), jnp.int32),
             jnp.zeros((nsb,), jnp.int32), jnp.zeros((nsb,), jnp.int32),
-            unit_vals=val is None)
+            unit_vals=val is None,
+            loc2=z if pack == 2 else None, val2=zf if pack == 2 else None)
 
     rows = np.repeat(np.arange(n_out, dtype=np.int64), np.diff(ptr_np))
     cols = np.asarray(ind, dtype=np.int64)[:m]
@@ -121,6 +136,9 @@ def build_plan(ptr, ind, val, n_out: int, n_in: int) -> BilinearPlan:
 
     n_cb = n_in_pad >> W_BITS
     tile = (rows >> W_BITS) * n_cb + (cols >> W_BITS)
+    if pack == 2:
+        return _build_plan_packed(rows, cols, vals, tile, n_cb, n_out, n_in,
+                                  n_out_pad, n_in_pad, val is None)
     # secondary sort key: x-window row chi = (col within window) // LANE —
     # each sub-block then spans a narrow [smin, smax] sweep range instead
     # of all W_ROWS (the gather.py per-chunk pruning idea applied here)
@@ -171,6 +189,80 @@ def build_plan(ptr, ind, val, n_out: int, n_in: int) -> BilinearPlan:
                         jnp.asarray(c_off), jnp.asarray(r_off),
                         jnp.asarray(smin), jnp.asarray(smax),
                         unit_vals=val is None)
+
+
+def _build_plan_packed(rows, cols, vals, tile, n_cb, n_out, n_in,
+                       n_out_pad, n_in_pad, unit_vals) -> BilinearPlan:
+    """pack=2 layout: one one-hot column per PAIR of edges sharing
+    (tile, output lane rows&127). m_pad counts COLUMNS, not edges."""
+    m = rows.shape[0]
+    chi_all = ((cols & (W - 1)) >> 7).astype(np.int32)
+    rlo_all = (rows & (LANE - 1)).astype(np.int32)
+    order = np.lexsort((chi_all, rlo_all, tile))
+    t_o = tile[order]
+    r_o = rlo_all[order]
+
+    grp_head = np.r_[True, (t_o[1:] != t_o[:-1]) | (r_o[1:] != r_o[:-1])]
+    g_starts = np.flatnonzero(grp_head)
+    g_counts = np.diff(np.r_[g_starts, m])
+    gid = np.cumsum(grp_head) - 1
+    within_g = np.arange(m, dtype=np.int64) - np.repeat(g_starts, g_counts)
+    pair_slot = within_g >> 1
+    side = (within_g & 1).astype(bool)
+
+    g_cols = (g_counts + 1) >> 1
+    g_tile = t_o[g_starts]
+    tile_head = np.r_[True, g_tile[1:] != g_tile[:-1]]
+    tid = np.cumsum(tile_head) - 1
+    n_tiles = int(tid[-1]) + 1
+    tile_cols = np.bincount(tid, weights=g_cols).astype(np.int64)
+    padded = ((tile_cols + SUB - 1) // SUB) * SUB
+    out_starts = np.r_[0, np.cumsum(padded)]
+    total = int(out_starts[-1])
+    chunk = SUB * CHUNK_SUBS
+    m_pad = max(round_up(total, chunk), chunk)
+
+    # column offset of each group within its tile
+    excl = np.cumsum(g_cols) - g_cols
+    tile_excl = excl[np.flatnonzero(tile_head)]
+    g_col_off = excl - tile_excl[tid]
+    edge_col = (out_starts[tid[gid]] + g_col_off[gid] + pair_slot)
+
+    r_loc = (rows[order] & (W - 1)).astype(np.int32)
+    c_loc = (cols[order] & (W - 1)).astype(np.int32)
+    lv = (r_loc << W_BITS) | c_loc
+    vv = vals[order]
+    loc_a = np.zeros(m_pad, np.int32)
+    val_a = np.zeros(m_pad, np.float32)
+    loc_b = np.zeros(m_pad, np.int32)
+    val_b = np.zeros(m_pad, np.float32)
+    loc_a[edge_col[~side]] = lv[~side]
+    val_a[edge_col[~side]] = vv[~side]
+    loc_b[edge_col[side]] = lv[side]
+    val_b[edge_col[side]] = vv[side]
+
+    nsb = m_pad // SUB
+    sb_tile = np.zeros(nsb, np.int64)
+    sb_tile[: total // SUB] = np.repeat(g_tile[tile_head], padded // SUB)
+    c_off = ((sb_tile % n_cb) * W_ROWS).astype(np.int32)
+    r_off = ((sb_tile // n_cb) * W_ROWS).astype(np.int32)
+
+    # sweep bounds over REAL edges of BOTH column slots
+    chi_o = chi_all[order]
+    chi_min = np.full(m_pad, W_ROWS, np.int32)
+    np.minimum.at(chi_min, edge_col, chi_o)
+    chi_max = np.full(m_pad, -1, np.int32)
+    np.maximum.at(chi_max, edge_col, chi_o)
+    smin = np.minimum(chi_min.reshape(nsb, SUB).min(1), W_ROWS - 1)
+    smax = np.maximum(chi_max.reshape(nsb, SUB).max(1), 0)
+    smax = np.maximum(smax, smin)
+
+    return BilinearPlan(n_out, n_in, n_out_pad, n_in_pad, m_pad,
+                        jnp.asarray(loc_a), jnp.asarray(val_a),
+                        jnp.asarray(c_off), jnp.asarray(r_off),
+                        jnp.asarray(smin), jnp.asarray(smax),
+                        unit_vals=unit_vals,
+                        loc2=jnp.asarray(loc_b), val2=jnp.asarray(val_b))
 
 
 def _kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
@@ -252,6 +344,84 @@ def _kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
         y_ref[pl.ds(r0, W_ROWS), :] += M
 
 
+def _kernel_packed(c_off_ref, r_off_ref, smin_ref, smax_ref, x_ref,
+                   loca_ref, vala_ref, locb_ref, valb_ref, y_ref, *,
+                   matmul: str = "highest", sweep: str = "fori"):
+    """pack=2 variant of _kernel: each lane-column carries TWO edges that
+    share the output lane (build_plan pack=2), so one A accumulates both
+    products and the (128, SUB) Bt one-hot is shared — half the MXU passes
+    per edge. Gather/VPU work per edge is unchanged."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
+
+    for sb in range(CHUNK_SUBS):
+        base = c * CHUNK_SUBS + sb
+        c0 = c_off_ref[base]
+        r0 = r_off_ref[base]
+        la = loca_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
+        va = vala_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
+        lb = locb_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
+        vb = valb_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
+
+        ca = la & (W - 1)
+        chia, cloa = ca >> 7, ca & (LANE - 1)
+        cb = lb & (W - 1)
+        chib, clob = cb >> 7, cb & (LANE - 1)
+
+        def _sweep_step(s, carry):
+            xga, xgb = carry
+            row = x_ref[pl.ds(c0 + s, 1), :]
+            ga = jnp.take_along_axis(
+                jnp.broadcast_to(row, cloa.shape), cloa, axis=1)
+            gb = jnp.take_along_axis(
+                jnp.broadcast_to(row, clob.shape), clob, axis=1)
+            return (jnp.where(chia == s, ga, xga),
+                    jnp.where(chib == s, gb, xgb))
+
+        zero = jnp.zeros(cloa.shape, y_ref.dtype)
+        if sweep == "fori":
+            xga, xgb = jax.lax.fori_loop(smin_ref[base], smax_ref[base] + 1,
+                                         _sweep_step, (zero, zero))
+        else:
+            xga, xgb = zero, zero
+            for s in range(W_ROWS):
+                xga, xgb = _sweep_step(s, (xga, xgb))
+        pa = xga * va
+        pb = xgb * vb
+
+        rla = la >> W_BITS
+        rhia = (rla >> 7).reshape(1, SUB)
+        rlo = (rla & (LANE - 1)).reshape(1, SUB)   # shared output lane
+        rhib = ((lb >> W_BITS) >> 7).reshape(1, SUB)
+        pfa = pa.reshape(1, SUB)
+        pfb = pb.reshape(1, SUB)
+
+        ia = jax.lax.broadcasted_iota(jnp.int32, (W_ROWS, SUB), 0)
+        ib = jax.lax.broadcasted_iota(jnp.int32, (LANE, SUB), 0)
+        A = (jnp.where(jnp.broadcast_to(rhia, (W_ROWS, SUB)) == ia,
+                       jnp.broadcast_to(pfa, (W_ROWS, SUB)), 0.0)
+             + jnp.where(jnp.broadcast_to(rhib, (W_ROWS, SUB)) == ia,
+                         jnp.broadcast_to(pfb, (W_ROWS, SUB)), 0.0))
+        hot_b = jnp.broadcast_to(rlo, (LANE, SUB)) == ib
+        if matmul == "hilo":
+            Bt = hot_b.astype(jnp.bfloat16)
+            A_hi = A.astype(jnp.bfloat16)
+            A_lo = (A - A_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            M = jax.lax.dot_general(A_hi, Bt, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            M = M + jax.lax.dot_general(A_lo, Bt, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        else:
+            Bt = hot_b.astype(y_ref.dtype)
+            M = jax.lax.dot_general(A, Bt, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+        y_ref[pl.ds(r0, W_ROWS), :] += M
+
+
 def spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
                   interpret: Optional[bool] = None,
                   matmul: Optional[str] = None,
@@ -282,28 +452,29 @@ def _spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
 
     chunk_rows = CHUNK_SUBS * SUB_ROWS
     n_chunks = plan.m_pad // (CHUNK_SUBS * SUB)
+    packed = plan.loc2 is not None
 
+    stream = pl.BlockSpec((chunk_rows, LANE), lambda c, *_: (c, 0),
+                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x table
-            pl.BlockSpec((chunk_rows, LANE), lambda c, *_: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk_rows, LANE), lambda c, *_: (c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]  # x table
+        + [stream] * (4 if packed else 2),
         out_specs=pl.BlockSpec((n_out_pad // LANE, LANE),
                                lambda c, *_: (0, 0),
                                memory_space=pltpu.VMEM),
     )
+    kern = _kernel_packed if packed else _kernel
+    operands = (plan.loc.reshape(-1, LANE), plan.val.reshape(-1, LANE))
+    if packed:
+        operands += (plan.loc2.reshape(-1, LANE), plan.val2.reshape(-1, LANE))
     y2d = pl.pallas_call(
-        functools.partial(_kernel, matmul=matmul, sweep=sweep),
+        functools.partial(kern, matmul=matmul, sweep=sweep),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out_pad // LANE, LANE), jnp.float32),
         interpret=interpret,
-    )(plan.c_off, plan.r_off, plan.smin, plan.smax, x2d,
-      plan.loc.reshape(-1, LANE), plan.val.reshape(-1, LANE))
+    )(plan.c_off, plan.r_off, plan.smin, plan.smax, x2d, *operands)
     return y2d.reshape(-1)[:plan.n_out]
 
 
@@ -633,15 +804,17 @@ def plan_for(A, transpose: bool = False,
     host = getattr(A, "_host_csc" if transpose else "_host_csr", None)
     if host is None:
         return None
+    pack = int(os.environ.get("GRB_BILINEAR_PACK", "1"))
     cache = getattr(A, "_bilinear_plans", None)
-    key = ("csc" if transpose else "csr") + ("/ones" if ones else "")
+    key = (("csc" if transpose else "csr") + ("/ones" if ones else "")
+           + (f"/pack{pack}" if pack != 1 else ""))
     if host_val is None and cache is not None and key in cache:
         return cache[key]
     ptr, ind, val = host
     if ones:
         val = None
     plan = build_plan(ptr, ind, val if host_val is None else host_val,
-                      n_out, n_in)
+                      n_out, n_in, pack=pack)
     if host_val is None:
         if cache is None:
             cache = {}

@@ -108,8 +108,9 @@ BILINEAR_CASES = [
 ]
 
 
+@pytest.mark.parametrize("pack", [1, 2])
 @pytest.mark.parametrize("n_out,n_in,m,skew", BILINEAR_CASES)
-def test_spmv_bilinear(rng, n_out, n_in, m, skew):
+def test_spmv_bilinear(rng, n_out, n_in, m, skew, pack):
     from graphblast_tpu.ops.pallas.bilinear import build_plan, spmv_bilinear
 
     if skew:
@@ -125,7 +126,7 @@ def test_spmv_bilinear(rng, n_out, n_in, m, skew):
     np.add.at(ptr, rows + 1, 1)
     ptr = np.cumsum(ptr)
 
-    plan = build_plan(ptr, cols, vals, n_out, n_in)
+    plan = build_plan(ptr, cols, vals, n_out, n_in, pack=pack)
     x = rng.standard_normal(n_in).astype(np.float32)
     y = np.asarray(spmv_bilinear(plan, jnp.asarray(x), interpret=True))
 
@@ -133,6 +134,35 @@ def test_spmv_bilinear(rng, n_out, n_in, m, skew):
     np.add.at(yref, rows, vals.astype(np.float64) * x[cols].astype(np.float64))
     den = max(np.abs(yref).max(), 1e-9)
     assert np.abs(y - yref).max() / den < 1e-5
+
+
+def test_spmv_bilinear_variants(rng):
+    """hilo bf16 two-pass scatter and unroll sweep agree with the golden at
+    their documented error bars (hilo ~1e-4 rel; exact mechanics differ per
+    backend but interpret mode runs the same graph)."""
+    from graphblast_tpu.ops.pallas.bilinear import build_plan, spmv_bilinear
+
+    n, m = 2000, 30000
+    rows = np.sort(rng.integers(0, n, m))
+    cols = rng.integers(0, n, m)
+    vals = rng.standard_normal(m).astype(np.float32)
+    ptr = np.zeros(n + 1, np.int64)
+    np.add.at(ptr, rows + 1, 1)
+    ptr = np.cumsum(ptr)
+    x = rng.standard_normal(n).astype(np.float32)
+    yref = np.zeros(n, np.float64)
+    np.add.at(yref, rows, vals.astype(np.float64) * x[cols].astype(np.float64))
+    den = max(np.abs(yref).max(), 1e-9)
+
+    for pack in (1, 2):
+        plan = build_plan(ptr, cols, vals, n, n, pack=pack)
+        for matmul, sweep, tol in (("highest", "unroll", 1e-5),
+                                   ("hilo", "fori", 1e-3)):
+            y = np.asarray(spmv_bilinear(plan, jnp.asarray(x),
+                                         interpret=True, matmul=matmul,
+                                         sweep=sweep))
+            err = np.abs(y - yref).max() / den
+            assert err < tol, (pack, matmul, sweep, err)
 
 
 def test_spmv_bilinear_struconly(rng):

@@ -54,18 +54,32 @@ y64 = np.zeros(A.nrows, np.float64)
 np.add.at(y64, rows_h, val_np[:m].astype(np.float64) * x_h[ind_np[:m]].astype(np.float64))
 den = np.abs(y64).max()
 
-# variant sweep (r3: chi-sorted fori pruning × hilo bf16 scatter); select
-# combos on the command line to bound the compile bill, e.g.
-#   python tools/tpu_bilinear_test.py 18 fori:hilo unroll:highest sorted
+# variant sweep (r3: chi-sorted fori pruning × hilo bf16 scatter × 2-edge
+# column packing); select combos on the command line to bound the compile
+# bill, e.g.
+#   python tools/tpu_bilinear_test.py 18 fori:hilo:p2 unroll:highest sorted
 combos = [a for a in sys.argv[2:]] or [
-    "unroll:highest", "fori:highest", "fori:hilo", "sorted"]
+    "unroll:highest", "fori:highest", "fori:hilo", "fori:hilo:p2", "sorted"]
+
+plans = {1: plan}
 
 
-def chain_for(sweep_mode, mm):
+def plan_packed():
+    if 2 not in plans:
+        t0 = time.perf_counter()
+        plans[2] = build_plan(ptr_np, ind_np, val_np, A.nrows, A.ncols,
+                              pack=2)
+        log(f"pack=2 plan: m_pad={plans[2].m_pad} cols "
+            f"(pairing {plans[2].m_pad * 2 / plan.m_pad:.2f}x edge slots vs "
+            f"unpacked) ({time.perf_counter()-t0:.1f}s)")
+    return plans[2]
+
+
+def chain_for(sweep_mode, mm, p):
     @functools.partial(jax.jit, static_argnums=(1,))
     def chain(x, reps):
         def body(c, _):
-            y = spmv_bilinear(plan, c, matmul=mm, sweep=sweep_mode)
+            y = spmv_bilinear(p, c, matmul=mm, sweep=sweep_mode)
             return c + y * 1e-30, ()
         c, _ = jax.lax.scan(body, x, None, length=reps)
         return c[0]
@@ -105,10 +119,12 @@ for combo in combos:
         err = np.abs(y - y64).max() / den
         per = marginal(chain_old, 2, 6)
     else:
-        sweep_mode, mm = combo.split(":")
-        y = np.asarray(spmv_bilinear(plan, x, matmul=mm, sweep=sweep_mode))
+        parts = combo.split(":")
+        sweep_mode, mm = parts[0], parts[1]
+        p = plan_packed() if "p2" in parts[2:] else plan
+        y = np.asarray(spmv_bilinear(p, x, matmul=mm, sweep=sweep_mode))
         err = np.abs(y - y64).max() / den
-        per = marginal(chain_for(sweep_mode, mm), 2, 12)
+        per = marginal(chain_for(sweep_mode, mm, p), 2, 12)
     log(f"{combo:16s} err={err:.2e}  {per*1e3:6.2f} ms/iter  "
         f"{bytes_moved/per/1e9:6.1f} GB/s  "
         f"(compile+run {time.perf_counter()-t0:.0f}s)")
