@@ -354,6 +354,19 @@ def _selfcheck(args, log, dev):
         checks["bilinear_err"] = round(err, 9)
         assert err < 1e-4, f"bilinear SpMV err {err}"
 
+    # 1b. windowed-DMA f32 kernel, forced at small scale — the dispatcher
+    # only builds it above the VMEM residency limit, but its Mosaic
+    # lowering (dynamic-offset HBM→VMEM window DMA) must be proven on the
+    # chip before any scale-22+ value pull relies on it
+    from graphblast_tpu.ops.pallas.bilinear import (build_plan_f32dma,
+                                                    spmv_bilinear_dma)
+
+    dplan = build_plan_f32dma(ptr, ind, val, n, n)
+    yd = np.asarray(jax.jit(spmv_bilinear_dma)(dplan, jnp.asarray(x)))
+    errd = float(np.max(np.abs(yd - y_gold) / (np.abs(y_gold) + 1.0)))
+    checks["bilinear_dma_err"] = round(errd, 9)
+    assert errd < 1e-4, f"windowed-DMA SpMV err {errd}"
+
     # 2. bitmap or-pull kernel: frontier neighbor counts
     bplan = plan_for_bitmap(A, transpose=False)
     if bplan is not None:

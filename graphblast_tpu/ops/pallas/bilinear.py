@@ -432,11 +432,15 @@ def spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
     under the CPU test backend. matmul ∈ {highest, hilo} and sweep ∈
     {fori, unroll} select the scatter-precision / window-sweep variants
     (env GRB_BILINEAR_MATMUL / GRB_BILINEAR_SWEEP; defaults measured best
-    on v5 lite, tools/tpu_bilinear_test.py)."""
+    on v5 lite, tools/tpu_bilinear_test.py). An F32DmaPlan (built by
+    plan_for above the VMEM-residency limit) routes to the windowed-DMA
+    kernel transparently."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if matmul is None:
         matmul = os.environ.get("GRB_BILINEAR_MATMUL", "highest").lower()
+    if isinstance(plan, F32DmaPlan):
+        return _spmv_bilinear_dma(plan, x, interpret, matmul)
     if sweep is None:
         sweep = os.environ.get("GRB_BILINEAR_SWEEP", "fori").lower()
     return _spmv_bilinear(plan, x, interpret, matmul, sweep)
@@ -793,13 +797,17 @@ def plan_for(A, transpose: bool = False,
     """Cached plan for one pull orientation of Matrix `A`.
 
     transpose=False → mxv pull (y = A·x, CSR); True → vxm pull (y = Aᵀ·x,
-    CSC). Returns None when the needed orientation has no host-side stash
-    (matrices rebuilt inside jit) or the tables exceed VMEM. `host_val`
-    overrides the stored values (e.g. PR's α/outdegree scaling) — such plans
-    are NOT cached. `ones=True` forces unit values (struconly traversals:
-    y then counts frontier neighbors regardless of edge weights)."""
+    CSC). Above the VMEM residency limit the windowed-DMA F32DmaPlan is
+    built instead (spmv_bilinear routes on the plan type), so value pulls
+    stay on the bilinear path at ANY scale; returns None only when the
+    needed orientation has no host-side stash (matrices rebuilt inside
+    jit) or GRB_BILINEAR_DMA=0. `host_val` overrides the stored values
+    (e.g. PR's α/outdegree scaling) — such plans are NOT cached.
+    `ones=True` forces unit values (struconly traversals: y then counts
+    frontier neighbors regardless of edge weights)."""
     n_out, n_in = (A.ncols, A.nrows) if transpose else (A.nrows, A.ncols)
-    if not bilinear_available(n_out, n_in):
+    resident = bilinear_available(n_out, n_in)
+    if not resident and os.environ.get("GRB_BILINEAR_DMA", "1") != "1":
         return None
     host = getattr(A, "_host_csc" if transpose else "_host_csr", None)
     if host is None:
@@ -807,14 +815,18 @@ def plan_for(A, transpose: bool = False,
     pack = int(os.environ.get("GRB_BILINEAR_PACK", "1"))
     cache = getattr(A, "_bilinear_plans", None)
     key = (("csc" if transpose else "csr") + ("/ones" if ones else "")
-           + (f"/pack{pack}" if pack != 1 else ""))
+           + (f"/pack{pack}" if pack != 1 else "")
+           + ("" if resident else "/dma"))
     if host_val is None and cache is not None and key in cache:
         return cache[key]
     ptr, ind, val = host
     if ones:
         val = None
-    plan = build_plan(ptr, ind, val if host_val is None else host_val,
-                      n_out, n_in, pack=pack)
+    use_val = val if host_val is None else host_val
+    if resident:
+        plan = build_plan(ptr, ind, use_val, n_out, n_in, pack=pack)
+    else:
+        plan = build_plan_f32dma(ptr, ind, use_val, n_out, n_in)
     if host_val is None:
         if cache is None:
             cache = {}
@@ -841,3 +853,278 @@ def plan_for_bitmap(A, transpose: bool = False) -> Optional["BitmapPlan"]:
         object.__setattr__(A, "_bilinear_plans", cache)
     cache[key] = plan
     return plan
+
+
+# ---------------------------------------------------------------------------
+# Windowed-DMA f32 variant: VALUE pulls at ANY scale
+# ---------------------------------------------------------------------------
+#
+# The resident f32 kernel needs x AND y in VMEM (n ≤ ~1.5M); above that,
+# value SpMV/PR fell back to the sorted pipeline (~1.3 ns/edge). This
+# variant removes both residency requirements, combining the bitmap
+# kernel's structure with f32 values:
+#   * y streams out per 4096-row panel through the output BlockSpec
+#     (tiles are panel-grouped and panel-chunk-padded at build time);
+#   * each sub-block's 4096-col x window (32 f32 table rows, 16 KB) is
+#     DMA'd HBM→VMEM, double-buffered against the previous sub-block's
+#     compute;
+#   * per-sub-block metadata (x-window row, sweep smin/smax) rides one
+#     128-lane int32 row per chunk, DMA'd into SMEM (same SMEM-budget
+#     rationale as BitmapPlan.c_blk).
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class F32DmaPlan:
+    """Static tiling for spmv_bilinear_dma. loc packs (row_loc<<12 |
+    col_loc); pad slots carry val 0. meta (n_chunks,128): per-chunk lanes
+    [0:16)=x-window row starts, [16:32)=smin, [32:48)=smax."""
+
+    n_out: int
+    n_in: int
+    n_out_pad: int           # round_up(n_out, W) — 4096-row panels
+    n_xrows: int             # x table rows incl. window padding
+    m_pad: int
+    loc: jnp.ndarray
+    val: jnp.ndarray
+    meta: jnp.ndarray
+    rp: jnp.ndarray          # (n_chunks,) row-panel index per chunk
+    visited: jnp.ndarray     # (n_out_pad//128,) 1.0 iff panel has edges
+    unit_vals: bool = False
+
+    def tree_flatten(self):
+        return ((self.loc, self.val, self.meta, self.rp, self.visited),
+                (self.n_out, self.n_in, self.n_out_pad, self.n_xrows,
+                 self.m_pad, self.unit_vals))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        *dims, unit = aux
+        return cls(*dims, *leaves, unit_vals=unit)
+
+
+def build_plan_f32dma(ptr, ind, val, n_out: int, n_in: int) -> F32DmaPlan:
+    """Host tiling for the windowed-DMA f32 kernel (any n_out/n_in)."""
+    ptr_np = np.asarray(ptr, dtype=np.int64)
+    m = int(ptr_np[-1])
+    n_out_pad = max(round_up(n_out, W), W)
+    n_cb = max(round_up(n_in, W), W) >> W_BITS
+    n_xrows = n_cb * W_ROWS
+    chunk = SUB * CHUNK_SUBS
+
+    if m == 0:
+        nch = 1
+        meta = np.zeros((nch, LANE), np.int32)
+        return F32DmaPlan(
+            n_out, n_in, n_out_pad, n_xrows, chunk,
+            jnp.zeros((chunk,), jnp.int32), jnp.zeros((chunk,), jnp.float32),
+            jnp.asarray(meta), jnp.zeros((nch,), jnp.int32),
+            jnp.zeros((n_out_pad // LANE,), jnp.float32),
+            unit_vals=val is None)
+
+    rows = np.repeat(np.arange(n_out, dtype=np.int64), np.diff(ptr_np))
+    cols = np.asarray(ind, dtype=np.int64)[:m]
+    vals = (np.asarray(val, dtype=np.float32)[:m] if val is not None
+            else np.ones(m, np.float32))
+
+    rp_e = rows >> W_BITS
+    tile = rp_e * n_cb + (cols >> W_BITS)
+    chi_all = ((cols & (W - 1)) >> 7).astype(np.int32)
+    order = np.lexsort((chi_all, tile))
+    t_sorted = tile[order]
+
+    head = np.r_[True, t_sorted[1:] != t_sorted[:-1]]
+    starts = np.flatnonzero(head)
+    counts = np.diff(np.r_[starts, m])
+    padded = ((counts + SUB - 1) // SUB) * SUB
+
+    # pad each ROW PANEL's stream to a chunk multiple so every chunk maps
+    # to exactly one output panel (bitmap builder's layout, W-col windows)
+    tile_rp = t_sorted[starts] // n_cb
+    rp_head = np.r_[True, tile_rp[1:] != tile_rp[:-1]]
+    rp_group = np.cumsum(rp_head) - 1
+    rp_tot = np.bincount(rp_group, weights=padded).astype(np.int64)
+    rp_tot_pad = ((rp_tot + chunk - 1) // chunk) * chunk
+    rp_base = np.r_[0, np.cumsum(rp_tot_pad)]
+    within_panel = np.concatenate(
+        [np.r_[0, np.cumsum(padded[rp_group == g])[:-1]]
+         for g in range(len(rp_tot))]) if len(rp_tot) else np.zeros(0)
+    tile_out = rp_base[rp_group] + within_panel
+    total = int(rp_base[-1])
+    m_pad = max(total, chunk)
+
+    within = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
+    pos = np.repeat(tile_out.astype(np.int64), counts) + within
+
+    r_loc = (rows[order] & (W - 1)).astype(np.int32)
+    c_loc = (cols[order] & (W - 1)).astype(np.int32)
+    loc = np.zeros(m_pad, np.int32)
+    loc[pos] = (r_loc << W_BITS) | c_loc
+    vstream = np.zeros(m_pad, np.float32)
+    vstream[pos] = vals[order]
+
+    # per-sub-block x-window starts + sweep bounds → per-chunk meta rows
+    nsb = m_pad // SUB
+    sb_cb = np.zeros(nsb, np.int64)
+    sb_pos = (np.repeat(tile_out // SUB, padded // SUB)
+              + np.concatenate([np.arange(k) for k in padded // SUB]))
+    sb_cb[sb_pos.astype(np.int64)] = np.repeat(t_sorted[starts] % n_cb,
+                                               padded // SUB)
+    c0 = (sb_cb * W_ROWS).astype(np.int32)
+
+    chi_min = np.full(m_pad, W_ROWS, np.int32)
+    chi_min[pos] = chi_all[order]
+    chi_max = np.full(m_pad, -1, np.int32)
+    chi_max[pos] = chi_all[order]
+    smin = np.minimum(chi_min.reshape(nsb, SUB).min(1), W_ROWS - 1)
+    smax = np.maximum(chi_max.reshape(nsb, SUB).max(1), 0)
+    smax = np.maximum(smax, smin)
+
+    n_chunks = m_pad // chunk
+    meta = np.zeros((n_chunks, LANE), np.int32)
+    meta[:, 0:CHUNK_SUBS] = c0.reshape(n_chunks, CHUNK_SUBS)
+    meta[:, CHUNK_SUBS:2 * CHUNK_SUBS] = smin.reshape(n_chunks, CHUNK_SUBS)
+    meta[:, 2 * CHUNK_SUBS:3 * CHUNK_SUBS] = smax.reshape(n_chunks,
+                                                          CHUNK_SUBS)
+
+    rp_c = np.zeros(n_chunks, np.int64)
+    ch_of_rp = rp_tot_pad // chunk
+    rp_ids = np.repeat(tile_rp[rp_head], ch_of_rp)
+    rp_c[: len(rp_ids)] = rp_ids
+    pmask = np.zeros(n_out_pad >> W_BITS, np.float32)
+    pmask[np.unique(tile_rp)] = 1.0
+    visited = np.repeat(pmask, W // LANE)
+    return F32DmaPlan(n_out, n_in, n_out_pad, n_xrows, m_pad,
+                      jnp.asarray(loc), jnp.asarray(vstream),
+                      jnp.asarray(meta), jnp.asarray(rp_c, jnp.int32),
+                      jnp.asarray(visited), unit_vals=val is None)
+
+
+def _kernel_f32_dma(rp_ref, meta_hbm, x_hbm, loc_ref, val_ref, y_ref,
+                    meta_smem, xw0, xw1, sem_m, sem0, sem1, *,
+                    matmul: str = "highest"):
+    c = pl.program_id(0)
+    mcp = pltpu.make_async_copy(meta_hbm.at[c], meta_smem, sem_m)
+    mcp.start()
+
+    first = jnp.logical_or(c == 0, rp_ref[c] != rp_ref[jnp.maximum(c - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
+
+    mcp.wait()
+
+    bufs = (xw0, xw1)
+    sems = (sem0, sem1)
+    copies = [None, None]
+
+    def _issue(sb):
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(meta_smem[sb], W_ROWS)], bufs[sb % 2],
+            sems[sb % 2])
+        cp.start()
+        copies[sb % 2] = cp
+
+    _issue(0)
+    for sb in range(CHUNK_SUBS):
+        if sb + 1 < CHUNK_SUBS:
+            _issue(sb + 1)   # overlap the next window's HBM fetch
+        copies[sb % 2].wait()
+        xw = bufs[sb % 2]
+
+        lv = loc_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
+        vv = val_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
+        cl = lv & (W - 1)
+        chi = cl >> 7
+        clo = cl & (LANE - 1)
+
+        def _sweep_step(s, xg):
+            row = xw[pl.ds(s, 1), :]
+            cand = jnp.take_along_axis(
+                jnp.broadcast_to(row, clo.shape), clo, axis=1)
+            return jnp.where(chi == s, cand, xg)
+
+        xg = jax.lax.fori_loop(meta_smem[CHUNK_SUBS + sb],
+                               meta_smem[2 * CHUNK_SUBS + sb] + 1,
+                               _sweep_step, jnp.zeros(clo.shape, y_ref.dtype))
+        p = xg * vv
+
+        rl = lv >> W_BITS
+        rhi = (rl >> 7).reshape(1, SUB)
+        rlo = (rl & (LANE - 1)).reshape(1, SUB)
+        pf = p.reshape(1, SUB)
+        ia = jax.lax.broadcasted_iota(jnp.int32, (W_ROWS, SUB), 0)
+        ib = jax.lax.broadcasted_iota(jnp.int32, (LANE, SUB), 0)
+        A = jnp.where(jnp.broadcast_to(rhi, (W_ROWS, SUB)) == ia,
+                      jnp.broadcast_to(pf, (W_ROWS, SUB)), 0.0)
+        hot_b = jnp.broadcast_to(rlo, (LANE, SUB)) == ib
+        if matmul == "hilo":
+            Bt = hot_b.astype(jnp.bfloat16)
+            A_hi = A.astype(jnp.bfloat16)
+            A_lo = (A - A_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            M = jax.lax.dot_general(A_hi, Bt, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            M = M + jax.lax.dot_general(A_lo, Bt, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        else:
+            Bt = hot_b.astype(y_ref.dtype)
+            M = jax.lax.dot_general(A, Bt, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+        y_ref[:] += M
+
+
+def spmv_bilinear_dma(plan: F32DmaPlan, x: jnp.ndarray,
+                      interpret: Optional[bool] = None,
+                      matmul: Optional[str] = None) -> jnp.ndarray:
+    """Plus-monoid value SpMV at any scale (x windows DMA'd per sub-block,
+    y streamed per panel)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if matmul is None:
+        matmul = os.environ.get("GRB_BILINEAR_MATMUL", "highest").lower()
+    return _spmv_bilinear_dma(plan, x, interpret, matmul)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "matmul"))
+def _spmv_bilinear_dma(plan: F32DmaPlan, x: jnp.ndarray,
+                       interpret: bool = False,
+                       matmul: str = "highest") -> jnp.ndarray:
+    x_p = jnp.pad(x.astype(jnp.float32),
+                  (0, plan.n_xrows * LANE - x.shape[0]))
+    x2d = x_p.reshape(plan.n_xrows, LANE)
+
+    chunk_rows = CHUNK_SUBS * SUB_ROWS
+    n_chunks = plan.m_pad // (CHUNK_SUBS * SUB)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # meta stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # x table stays in HBM
+            pl.BlockSpec((chunk_rows, LANE), lambda c, rp: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_rows, LANE), lambda c, rp: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((W_ROWS, LANE), lambda c, rp: (rp[c], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((LANE,), jnp.int32),
+                        pltpu.VMEM((W_ROWS, LANE), jnp.float32),
+                        pltpu.VMEM((W_ROWS, LANE), jnp.float32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    y2d = pl.pallas_call(
+        functools.partial(_kernel_f32_dma, matmul=matmul),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
+                                       jnp.float32),
+        interpret=interpret,
+    )(plan.rp, plan.meta, x2d, plan.loc.reshape(-1, LANE),
+      plan.val.reshape(-1, LANE))
+    y2d = jnp.where(plan.visited[:, None] > 0, y2d, 0)
+    return y2d.reshape(-1)[:plan.n_out]

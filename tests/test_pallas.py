@@ -165,6 +165,33 @@ def test_spmv_bilinear_variants(rng):
             assert err < tol, (pack, matmul, sweep, err)
 
 
+@pytest.mark.parametrize("n_out,n_in,m", [
+    (500, 700, 3000),
+    (9000, 6000, 25000),      # multiple panels + multiple x windows
+    (4096, 4096, 20000),      # dims exactly one window
+    (20000, 9000, 1),         # unvisited panels must read 0
+    (100, 50, 0),
+])
+def test_spmv_bilinear_dma(rng, n_out, n_in, m):
+    """Windowed-DMA f32 variant (any-scale value pulls) vs dense oracle."""
+    from graphblast_tpu.ops.pallas.bilinear import (build_plan_f32dma,
+                                                    spmv_bilinear_dma)
+
+    rows = np.sort(rng.integers(0, n_out, m))
+    cols = rng.integers(0, n_in, m)
+    vals = rng.standard_normal(m).astype(np.float32)
+    ptr = np.zeros(n_out + 1, np.int64)
+    np.add.at(ptr, rows + 1, 1)
+    ptr = np.cumsum(ptr)
+    plan = build_plan_f32dma(ptr, cols, vals, n_out, n_in)
+    x = rng.standard_normal(n_in).astype(np.float32)
+    y = np.asarray(spmv_bilinear_dma(plan, jnp.asarray(x), interpret=True))
+    yref = np.zeros(n_out, np.float64)
+    np.add.at(yref, rows, vals.astype(np.float64) * x[cols].astype(np.float64))
+    den = max(np.abs(yref).max(), 1e-9)
+    assert np.abs(y - yref).max() / den < 1e-5
+
+
 def test_spmv_bilinear_struconly(rng):
     """val=None plan: all-ones values (BFS pull counting mode)."""
     from graphblast_tpu.ops.pallas.bilinear import build_plan, spmv_bilinear
