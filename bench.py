@@ -432,6 +432,7 @@ def _emit(merged, args, final=False):
               "spmv_gbs", "spmv_gteps", "pr_iters_per_s",
               "tc_ms", "tc_rate_meps", "tc_scale",
               "bfs_gteps_rmat22", "bfs_gteps_total_rmat22",
+              "spmv_gbs_rmat22", "spmv_gteps_rmat22",
               "bfs_gteps_rmat24", "bfs_gteps_total_rmat24",
               "device", "n", "nnz", "stages_done", "stages_skipped"):
         if k in merged:
@@ -492,6 +493,8 @@ def main():
         ("bfs_pushpull", "bfs_pushpull", args.scale, args.sources, 1.0),
         ("tc", "tc", min(args.scale, 18), 1, 1.0),
         ("bfs22", "bfs", 22, 2, 2.0),
+        ("spmv22", "spmv", 22, 1, 2.0),   # value SpMV above the VMEM limit:
+        #                                   exercises the windowed-DMA plan
         ("bfs24", "bfs", 24, 1, 2.0),
     ]
     merged = {"stages_done": [], "stages_skipped": []}
@@ -499,7 +502,7 @@ def main():
         merged["device"] = "unreachable"
         plan = [p for p in plan if p[0] == "bfs"]
     for stage, real_stage, stage_scale, nsources, mult in plan:
-        if stage in ("bfs22", "bfs24") and args.scale >= stage_scale:
+        if stage in ("bfs22", "spmv22", "bfs24") and args.scale >= stage_scale:
             continue   # main scale already covers it
         tmo = STAGE_TIMEOUT * mult
         remaining = TOTAL_TIMEOUT - (time.perf_counter() - t_start)
@@ -528,6 +531,9 @@ def main():
                 sfx = stage[3:]
                 vals = {f"{k}_rmat{sfx}": v for k, v in vals.items()
                         if k.startswith("bfs_gteps")}
+            elif stage == "spmv22":
+                vals = {f"{k}_rmat22": v for k, v in vals.items()
+                        if k.startswith("spmv_")}
             elif stage == "bfs_pushpull":
                 vals = {k: v for k, v in vals.items()
                         if k == "bfs_gteps_pushpull"}
