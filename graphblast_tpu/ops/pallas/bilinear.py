@@ -863,26 +863,35 @@ def plan_for_bitmap(A, transpose: bool = False) -> Optional["BitmapPlan"]:
 # value SpMV/PR fell back to the sorted pipeline (~1.3 ns/edge). This
 # variant removes both residency requirements, combining the bitmap
 # kernel's structure with f32 values:
-#   * y streams out per 4096-row panel through the output BlockSpec
+#   * y streams out per 8192-row panel through the output BlockSpec
 #     (tiles are panel-grouped and panel-chunk-padded at build time);
-#   * each sub-block's 4096-col x window (32 f32 table rows, 16 KB) is
-#     DMA'd HBM→VMEM, double-buffered against the previous sub-block's
-#     compute;
+#   * each tile's 65536-col x window (512 f32 table rows, 256 KB) is
+#     DMA'd HBM→VMEM once per TILE (same-window sub-blocks skip the
+#     fetch — an SMEM-carried prev-window id gates the copy);
 #   * per-sub-block metadata (x-window row, sweep smin/smax) rides one
 #     128-lane int32 row per chunk, DMA'd into SMEM (same SMEM-budget
 #     rationale as BitmapPlan.c_blk).
+#
+# Cost model (rmat22, measured padding 2026-08-17): 8192×65536 tiles pad
+# the 128.3M-edge stream 1.13× (4096² tiles pad 8.4× — unusable); total
+# x-window traffic = (#panels)·(x bytes) = 512 × 16.8 MB ≈ 8.6 GB ≈ 11 ms
+# at HBM speed, vs the sorted pipeline's ~167 ms/iteration.
+
+WD_R_BITS = 13               # 8192-row output panels (64 y table rows)
+WD_C_BITS = 16               # 65536-col x windows (512 x table rows)
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class F32DmaPlan:
-    """Static tiling for spmv_bilinear_dma. loc packs (row_loc<<12 |
-    col_loc); pad slots carry val 0. meta (n_chunks,128): per-chunk lanes
-    [0:16)=x-window row starts, [16:32)=smin, [32:48)=smax."""
+    """Static tiling for spmv_bilinear_dma. loc packs
+    (row_loc<<wc_bits | col_loc) — 13+16=29 bits; pad slots carry val 0.
+    meta (n_chunks,128): per-chunk lanes [0:16)=x-window row starts,
+    [16:32)=smin, [32:48)=smax."""
 
     n_out: int
     n_in: int
-    n_out_pad: int           # round_up(n_out, W) — 4096-row panels
+    n_out_pad: int           # round_up(n_out, 2^wr_bits) — row panels
     n_xrows: int             # x table rows incl. window padding
     m_pad: int
     loc: jnp.ndarray
@@ -891,25 +900,32 @@ class F32DmaPlan:
     rp: jnp.ndarray          # (n_chunks,) row-panel index per chunk
     visited: jnp.ndarray     # (n_out_pad//128,) 1.0 iff panel has edges
     unit_vals: bool = False
+    wr_bits: int = WD_R_BITS
+    wc_bits: int = WD_C_BITS
 
     def tree_flatten(self):
         return ((self.loc, self.val, self.meta, self.rp, self.visited),
                 (self.n_out, self.n_in, self.n_out_pad, self.n_xrows,
-                 self.m_pad, self.unit_vals))
+                 self.m_pad, self.unit_vals, self.wr_bits, self.wc_bits))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        *dims, unit = aux
-        return cls(*dims, *leaves, unit_vals=unit)
+        *dims, unit, wr, wc = aux
+        return cls(*dims, *leaves, unit_vals=unit, wr_bits=wr, wc_bits=wc)
 
 
-def build_plan_f32dma(ptr, ind, val, n_out: int, n_in: int) -> F32DmaPlan:
+def build_plan_f32dma(ptr, ind, val, n_out: int, n_in: int,
+                      wr_bits: int = WD_R_BITS,
+                      wc_bits: int = WD_C_BITS) -> F32DmaPlan:
     """Host tiling for the windowed-DMA f32 kernel (any n_out/n_in)."""
+    assert wr_bits + wc_bits <= 31, "loc must pack into non-negative int32"
+    Wr, Wc = 1 << wr_bits, 1 << wc_bits
+    wc_rows = Wc // LANE
     ptr_np = np.asarray(ptr, dtype=np.int64)
     m = int(ptr_np[-1])
-    n_out_pad = max(round_up(n_out, W), W)
-    n_cb = max(round_up(n_in, W), W) >> W_BITS
-    n_xrows = n_cb * W_ROWS
+    n_out_pad = max(round_up(n_out, Wr), Wr)
+    n_cb = max(round_up(n_in, Wc), Wc) >> wc_bits
+    n_xrows = n_cb * wc_rows
     chunk = SUB * CHUNK_SUBS
 
     if m == 0:
@@ -920,16 +936,16 @@ def build_plan_f32dma(ptr, ind, val, n_out: int, n_in: int) -> F32DmaPlan:
             jnp.zeros((chunk,), jnp.int32), jnp.zeros((chunk,), jnp.float32),
             jnp.asarray(meta), jnp.zeros((nch,), jnp.int32),
             jnp.zeros((n_out_pad // LANE,), jnp.float32),
-            unit_vals=val is None)
+            unit_vals=val is None, wr_bits=wr_bits, wc_bits=wc_bits)
 
     rows = np.repeat(np.arange(n_out, dtype=np.int64), np.diff(ptr_np))
     cols = np.asarray(ind, dtype=np.int64)[:m]
     vals = (np.asarray(val, dtype=np.float32)[:m] if val is not None
             else np.ones(m, np.float32))
 
-    rp_e = rows >> W_BITS
-    tile = rp_e * n_cb + (cols >> W_BITS)
-    chi_all = ((cols & (W - 1)) >> 7).astype(np.int32)
+    rp_e = rows >> wr_bits
+    tile = rp_e * n_cb + (cols >> wc_bits)
+    chi_all = ((cols & (Wc - 1)) >> 7).astype(np.int32)
     order = np.lexsort((chi_all, tile))
     t_sorted = tile[order]
 
@@ -939,7 +955,7 @@ def build_plan_f32dma(ptr, ind, val, n_out: int, n_in: int) -> F32DmaPlan:
     padded = ((counts + SUB - 1) // SUB) * SUB
 
     # pad each ROW PANEL's stream to a chunk multiple so every chunk maps
-    # to exactly one output panel (bitmap builder's layout, W-col windows)
+    # to exactly one output panel (bitmap builder's layout)
     tile_rp = t_sorted[starts] // n_cb
     rp_head = np.r_[True, tile_rp[1:] != tile_rp[:-1]]
     rp_group = np.cumsum(rp_head) - 1
@@ -956,27 +972,34 @@ def build_plan_f32dma(ptr, ind, val, n_out: int, n_in: int) -> F32DmaPlan:
     within = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
     pos = np.repeat(tile_out.astype(np.int64), counts) + within
 
-    r_loc = (rows[order] & (W - 1)).astype(np.int32)
-    c_loc = (cols[order] & (W - 1)).astype(np.int32)
+    r_loc = (rows[order] & (Wr - 1)).astype(np.int32)
+    c_loc = (cols[order] & (Wc - 1)).astype(np.int32)
     loc = np.zeros(m_pad, np.int32)
-    loc[pos] = (r_loc << W_BITS) | c_loc
+    loc[pos] = (r_loc << wc_bits) | c_loc
     vstream = np.zeros(m_pad, np.float32)
     vstream[pos] = vals[order]
 
-    # per-sub-block x-window starts + sweep bounds → per-chunk meta rows
+    # per-sub-block x-window starts + sweep bounds → per-chunk meta rows.
+    # Dummy tail sub-blocks inherit the PREVIOUS window id (backfilled
+    # below) so they never trigger a pointless window DMA.
     nsb = m_pad // SUB
-    sb_cb = np.zeros(nsb, np.int64)
+    sb_cb = np.full(nsb, -1, np.int64)
     sb_pos = (np.repeat(tile_out // SUB, padded // SUB)
               + np.concatenate([np.arange(k) for k in padded // SUB]))
     sb_cb[sb_pos.astype(np.int64)] = np.repeat(t_sorted[starts] % n_cb,
                                                padded // SUB)
-    c0 = (sb_cb * W_ROWS).astype(np.int32)
+    empty = sb_cb < 0
+    if empty.any():
+        idx = np.arange(nsb)
+        fill = np.maximum.accumulate(np.where(~empty, idx, -1))
+        sb_cb = np.where(fill >= 0, sb_cb[np.maximum(fill, 0)], 0)
+    c0 = (sb_cb * wc_rows).astype(np.int32)
 
-    chi_min = np.full(m_pad, W_ROWS, np.int32)
+    chi_min = np.full(m_pad, wc_rows, np.int32)
     chi_min[pos] = chi_all[order]
     chi_max = np.full(m_pad, -1, np.int32)
     chi_max[pos] = chi_all[order]
-    smin = np.minimum(chi_min.reshape(nsb, SUB).min(1), W_ROWS - 1)
+    smin = np.minimum(chi_min.reshape(nsb, SUB).min(1), wc_rows - 1)
     smax = np.maximum(chi_max.reshape(nsb, SUB).max(1), 0)
     smax = np.maximum(smax, smin)
 
@@ -991,21 +1014,30 @@ def build_plan_f32dma(ptr, ind, val, n_out: int, n_in: int) -> F32DmaPlan:
     ch_of_rp = rp_tot_pad // chunk
     rp_ids = np.repeat(tile_rp[rp_head], ch_of_rp)
     rp_c[: len(rp_ids)] = rp_ids
-    pmask = np.zeros(n_out_pad >> W_BITS, np.float32)
+    pmask = np.zeros(n_out_pad >> wr_bits, np.float32)
     pmask[np.unique(tile_rp)] = 1.0
-    visited = np.repeat(pmask, W // LANE)
+    visited = np.repeat(pmask, Wr // LANE)
     return F32DmaPlan(n_out, n_in, n_out_pad, n_xrows, m_pad,
                       jnp.asarray(loc), jnp.asarray(vstream),
                       jnp.asarray(meta), jnp.asarray(rp_c, jnp.int32),
-                      jnp.asarray(visited), unit_vals=val is None)
+                      jnp.asarray(visited), unit_vals=val is None,
+                      wr_bits=wr_bits, wc_bits=wc_bits)
 
 
 def _kernel_f32_dma(rp_ref, meta_hbm, x_hbm, loc_ref, val_ref, y_ref,
-                    meta_smem, xw0, xw1, sem_m, sem0, sem1, *,
-                    matmul: str = "highest"):
+                    meta_smem, prev_smem, xw, sem_m, sem_x, *,
+                    wr_bits: int, wc_bits: int, matmul: str = "highest"):
     c = pl.program_id(0)
+    wr_rows = (1 << wr_bits) // LANE
+    wc_rows = (1 << wc_bits) // LANE
+    Wc = 1 << wc_bits
+
     mcp = pltpu.make_async_copy(meta_hbm.at[c], meta_smem, sem_m)
     mcp.start()
+
+    @pl.when(c == 0)
+    def _():
+        prev_smem[0] = -1      # no window resident yet
 
     first = jnp.logical_or(c == 0, rp_ref[c] != rp_ref[jnp.maximum(c - 1, 0)])
 
@@ -1015,27 +1047,24 @@ def _kernel_f32_dma(rp_ref, meta_hbm, x_hbm, loc_ref, val_ref, y_ref,
 
     mcp.wait()
 
-    bufs = (xw0, xw1)
-    sems = (sem0, sem1)
-    copies = [None, None]
-
-    def _issue(sb):
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(meta_smem[sb], W_ROWS)], bufs[sb % 2],
-            sems[sb % 2])
-        cp.start()
-        copies[sb % 2] = cp
-
-    _issue(0)
     for sb in range(CHUNK_SUBS):
-        if sb + 1 < CHUNK_SUBS:
-            _issue(sb + 1)   # overlap the next window's HBM fetch
-        copies[sb % 2].wait()
-        xw = bufs[sb % 2]
+        c0 = meta_smem[sb]
+
+        # fetch the 256 KB x window only when it CHANGED — consecutive
+        # sub-blocks of one tile share it (tiles hold ~4 sub-blocks at
+        # rmat22, so this cuts window traffic ~4x); the synchronous wait
+        # costs one DMA latency per tile, amortized over its sub-blocks
+        @pl.when(c0 != prev_smem[0])
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[pl.ds(c0, wc_rows)], xw,
+                                       sem_x)
+            cp.start()
+            cp.wait()
+            prev_smem[0] = c0
 
         lv = loc_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
         vv = val_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
-        cl = lv & (W - 1)
+        cl = lv & (Wc - 1)
         chi = cl >> 7
         clo = cl & (LANE - 1)
 
@@ -1050,14 +1079,14 @@ def _kernel_f32_dma(rp_ref, meta_hbm, x_hbm, loc_ref, val_ref, y_ref,
                                _sweep_step, jnp.zeros(clo.shape, y_ref.dtype))
         p = xg * vv
 
-        rl = lv >> W_BITS
+        rl = lv >> wc_bits
         rhi = (rl >> 7).reshape(1, SUB)
         rlo = (rl & (LANE - 1)).reshape(1, SUB)
         pf = p.reshape(1, SUB)
-        ia = jax.lax.broadcasted_iota(jnp.int32, (W_ROWS, SUB), 0)
+        ia = jax.lax.broadcasted_iota(jnp.int32, (wr_rows, SUB), 0)
         ib = jax.lax.broadcasted_iota(jnp.int32, (LANE, SUB), 0)
-        A = jnp.where(jnp.broadcast_to(rhi, (W_ROWS, SUB)) == ia,
-                      jnp.broadcast_to(pf, (W_ROWS, SUB)), 0.0)
+        A = jnp.where(jnp.broadcast_to(rhi, (wr_rows, SUB)) == ia,
+                      jnp.broadcast_to(pf, (wr_rows, SUB)), 0.0)
         hot_b = jnp.broadcast_to(rlo, (LANE, SUB)) == ib
         if matmul == "hilo":
             Bt = hot_b.astype(jnp.bfloat16)
@@ -1078,7 +1107,7 @@ def _kernel_f32_dma(rp_ref, meta_hbm, x_hbm, loc_ref, val_ref, y_ref,
 def spmv_bilinear_dma(plan: F32DmaPlan, x: jnp.ndarray,
                       interpret: Optional[bool] = None,
                       matmul: Optional[str] = None) -> jnp.ndarray:
-    """Plus-monoid value SpMV at any scale (x windows DMA'd per sub-block,
+    """Plus-monoid value SpMV at any scale (x windows DMA'd per tile,
     y streamed per panel)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1097,6 +1126,8 @@ def _spmv_bilinear_dma(plan: F32DmaPlan, x: jnp.ndarray,
 
     chunk_rows = CHUNK_SUBS * SUB_ROWS
     n_chunks = plan.m_pad // (CHUNK_SUBS * SUB)
+    wr_rows = (1 << plan.wr_bits) // LANE
+    wc_rows = (1 << plan.wc_bits) // LANE
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1109,17 +1140,17 @@ def _spmv_bilinear_dma(plan: F32DmaPlan, x: jnp.ndarray,
             pl.BlockSpec((chunk_rows, LANE), lambda c, rp: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((W_ROWS, LANE), lambda c, rp: (rp[c], 0),
+        out_specs=pl.BlockSpec((wr_rows, LANE), lambda c, rp: (rp[c], 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SMEM((LANE,), jnp.int32),
-                        pltpu.VMEM((W_ROWS, LANE), jnp.float32),
-                        pltpu.VMEM((W_ROWS, LANE), jnp.float32),
-                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.VMEM((wc_rows, LANE), jnp.float32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA(())],
     )
     y2d = pl.pallas_call(
-        functools.partial(_kernel_f32_dma, matmul=matmul),
+        functools.partial(_kernel_f32_dma, wr_bits=plan.wr_bits,
+                          wc_bits=plan.wc_bits, matmul=matmul),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
                                        jnp.float32),

@@ -165,14 +165,17 @@ def test_spmv_bilinear_variants(rng):
             assert err < tol, (pack, matmul, sweep, err)
 
 
-@pytest.mark.parametrize("n_out,n_in,m", [
-    (500, 700, 3000),
-    (9000, 6000, 25000),      # multiple panels + multiple x windows
-    (4096, 4096, 20000),      # dims exactly one window
-    (20000, 9000, 1),         # unvisited panels must read 0
-    (100, 50, 0),
+@pytest.mark.parametrize("n_out,n_in,m,w", [
+    (500, 700, 3000, None),
+    (9000, 6000, 25000, None),      # multiple output panels
+    (8192, 65536, 20000, None),     # dims exactly one (panel, window)
+    (20000, 9000, 1, None),         # unvisited panels must read 0
+    (100, 50, 0, None),
+    (9000, 70000, 30000, None),     # multiple x windows at default size
+    (9000, 9000, 30000, (12, 12)),  # forced small windows: many tiles per
+    #                                 panel, window switches inside chunks
 ])
-def test_spmv_bilinear_dma(rng, n_out, n_in, m):
+def test_spmv_bilinear_dma(rng, n_out, n_in, m, w):
     """Windowed-DMA f32 variant (any-scale value pulls) vs dense oracle."""
     from graphblast_tpu.ops.pallas.bilinear import (build_plan_f32dma,
                                                     spmv_bilinear_dma)
@@ -183,7 +186,8 @@ def test_spmv_bilinear_dma(rng, n_out, n_in, m):
     ptr = np.zeros(n_out + 1, np.int64)
     np.add.at(ptr, rows + 1, 1)
     ptr = np.cumsum(ptr)
-    plan = build_plan_f32dma(ptr, cols, vals, n_out, n_in)
+    kw = dict(zip(("wr_bits", "wc_bits"), w)) if w else {}
+    plan = build_plan_f32dma(ptr, cols, vals, n_out, n_in, **kw)
     x = rng.standard_normal(n_in).astype(np.float32)
     y = np.asarray(spmv_bilinear_dma(plan, jnp.asarray(x), interpret=True))
     yref = np.zeros(n_out, np.float64)
