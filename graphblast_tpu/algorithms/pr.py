@@ -89,15 +89,16 @@ def prepare_pr_plan(A: Matrix, alpha: float = 0.85):
     import numpy as np
 
     from ..ops.gather_dispatch import use_pallas
-    from ..ops.pallas.bilinear import bilinear_available, plan_for
+    from ..ops.pallas.bilinear import plan_for
 
     if not use_pallas():
         return None
     host_csr = getattr(A, "_host_csr", None)
     host_csc = getattr(A, "_host_csc", None)
-    if (host_csr is None or host_csc is None
-            or not bilinear_available(A.ncols, A.nrows)):
+    if host_csr is None or host_csc is None:
         return None
+    # above the VMEM residency limit plan_for returns the windowed-DMA
+    # plan, so fused PR stays on the bilinear path at any scale (r3)
     ptr, _, rvals = host_csr
     n = A.nrows
     outdeg = np.zeros(n, np.float64)

@@ -483,8 +483,16 @@ def _spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
 
 
 def bilinear_available(n_out: int, n_in: int,
-                       vmem_budget: int = 12 * 1024 * 1024) -> bool:
-    """x and y tables must both sit in VMEM alongside the edge buffers."""
+                       vmem_budget: Optional[int] = None) -> bool:
+    """x and y tables must both sit in VMEM alongside the edge buffers.
+
+    The 12 MB default is conservative; v5e VMEM is nominally 128 MB —
+    GRB_BILINEAR_VMEM (bytes) raises/lowers the gate (raising it stretches
+    the resident kernel to scale ~23; lowering it forces the windowed-DMA
+    plan for testing)."""
+    if vmem_budget is None:
+        vmem_budget = int(os.environ.get("GRB_BILINEAR_VMEM",
+                                         str(12 * 1024 * 1024)))
     need = (round_up(n_out, W) + round_up(n_in, W)) * 4
     return need <= vmem_budget
 

@@ -196,6 +196,28 @@ def test_spmv_bilinear_dma(rng, n_out, n_in, m, w):
     assert np.abs(y - yref).max() / den < 1e-5
 
 
+def test_pr_with_dma_plan(rng, monkeypatch):
+    """Fused PR rides the windowed-DMA plan when the resident kernel is
+    VMEM-gated (GRB_BILINEAR_VMEM forces the gate shut)."""
+    from graphblast_tpu import Matrix
+    from graphblast_tpu.algorithms import reference
+    from graphblast_tpu.algorithms.pr import _pr_fused, prepare_pr_plan
+    from graphblast_tpu.ops import gather_dispatch
+    from graphblast_tpu.ops.pallas.bilinear import F32DmaPlan
+
+    n, m = 300, 2500
+    rows = rng.integers(0, n, m)
+    cols = rng.integers(0, n, m)
+    A = Matrix.from_coo(rows, cols, np.ones(m), n, n)
+    monkeypatch.setenv("GRB_BILINEAR_VMEM", "1")
+    monkeypatch.setattr(gather_dispatch, "_USE_PALLAS", True)
+    plan = prepare_pr_plan(A, 0.85)
+    assert isinstance(plan, F32DmaPlan)
+    p, _, _ = _pr_fused(A, plan, alpha=0.85, eps=1e-10, max_niter=150)
+    want = reference.pr_cpu(A, alpha=0.85, eps=1e-12, max_niter=200)
+    np.testing.assert_allclose(np.asarray(p), want, atol=2e-5)
+
+
 def test_spmv_bilinear_struconly(rng):
     """val=None plan: all-ones values (BFS pull counting mode)."""
     from graphblast_tpu.ops.pallas.bilinear import build_plan, spmv_bilinear
