@@ -589,7 +589,12 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int,
 
     rp_e = rows >> wp_bits
     tile = rp_e * n_cb + (cols >> WB_BITS)
-    order = np.argsort(tile, kind="stable")
+    # secondary sort key: the word-row of the column within its window —
+    # each sub-block then sweeps only [smin, smax] of the 32 rows (the f32
+    # kernel's chi pruning applied to the bitmap path; at rmat18 a
+    # 2048-edge sub-block of a ~59K-edge tile spans ~2 of 32 rows)
+    chi_all = ((cols & (WB - 1)) >> 12).astype(np.int32)
+    order = np.lexsort((chi_all, tile))
     t_sorted = tile[order]
 
     head = np.r_[True, t_sorted[1:] != t_sorted[:-1]]
@@ -621,7 +626,11 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int,
     loc = np.zeros(m_pad, np.int32)
     loc[pos] = (1 << 30) | (r_loc << WB_BITS) | c_loc
 
-    # per-sub-block window offsets
+    # per-sub-block window offsets + sweep bounds, packed into one int32
+    # per sub-block — (word_row_offset << 10) | (smin << 5) | smax — so
+    # BOTH the scalar-prefetch and the DMA'd-row paths carry the pruning
+    # bounds with zero extra operands (offsets ≤ n_wrows ≈ 2^13 at scale
+    # 25; smin/smax ∈ [0, 32))
     nsb = m_pad // SUBB
     sb_cb = np.zeros(nsb, np.int64)
     sb_fill = np.repeat(t_sorted[starts] % n_cb, padded // SUBB)
@@ -630,7 +639,16 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int,
         np.concatenate([np.arange(k) for k in padded // SUBB]) \
         if len(padded) else np.zeros(0, np.int64)
     sb_cb[sb_pos.astype(np.int64)] = sb_fill
-    c_blk_flat = (sb_cb * (WB // 32 // LANE)).astype(np.int32)
+
+    chi_min = np.full(m_pad, 32, np.int32)
+    chi_min[pos] = chi_all[order]
+    chi_max = np.full(m_pad, -1, np.int32)
+    chi_max[pos] = chi_all[order]
+    smin = np.minimum(chi_min.reshape(nsb, SUBB).min(1), 31)
+    smax = np.maximum(chi_max.reshape(nsb, SUBB).max(1), 0)
+    smax = np.maximum(smax, smin)
+    c_blk_flat = ((sb_cb * (WB // 32 // LANE)) << 10 | (smin << 5)
+                  | smax).astype(np.int32)
 
     n_chunks = m_pad // chunk
     # SMEM budget call: a flat scalar-prefetch c_blk costs nsb·4 B of SMEM
@@ -658,7 +676,7 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int,
 
 
 def _kernel_bitmap_dma(rp_ref, cblk_hbm, w_ref, loc_ref, y_ref, cb_smem,
-                       sem, *, wp_rows: int = W_ROWS):
+                       sem, *, wp_rows: int = W_ROWS, sweep: str = "fori"):
     c = pl.program_id(0)
     # this chunk's 8 window offsets: tiny HBM→SMEM DMA (the full per-sub-
     # block array is ~1 MB of int32 at scale 24 — over the SMEM budget as
@@ -674,11 +692,11 @@ def _kernel_bitmap_dma(rp_ref, cblk_hbm, w_ref, loc_ref, y_ref, cb_smem,
 
     copy.wait()
     _bitmap_chunk_body(lambda sb: cb_smem[sb], c, w_ref, loc_ref, y_ref,
-                       wp_rows)
+                       wp_rows, sweep)
 
 
 def _kernel_bitmap_prefetch(cblk_ref, rp_ref, w_ref, loc_ref, y_ref, *,
-                            wp_rows: int = W_ROWS):
+                            wp_rows: int = W_ROWS, sweep: str = "fori"):
     c = pl.program_id(0)
     first = jnp.logical_or(c == 0, rp_ref[c] != rp_ref[jnp.maximum(c - 1, 0)])
 
@@ -687,12 +705,14 @@ def _kernel_bitmap_prefetch(cblk_ref, rp_ref, w_ref, loc_ref, y_ref, *,
         y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
 
     _bitmap_chunk_body(lambda sb: cblk_ref[c * CHUNKB_SUBS + sb], c, w_ref,
-                       loc_ref, y_ref, wp_rows)
+                       loc_ref, y_ref, wp_rows, sweep)
 
 
-def _bitmap_chunk_body(c0_of, c, w_ref, loc_ref, y_ref, wp_rows):
+def _bitmap_chunk_body(c0_of, c, w_ref, loc_ref, y_ref, wp_rows,
+                       sweep: str = "fori"):
     for sb in range(CHUNKB_SUBS):
-        c0 = c0_of(sb)
+        packed = c0_of(sb)           # (offset << 10) | (smin << 5) | smax
+        c0 = packed >> 10
         lv = loc_ref[sb * SUBB_ROWS:(sb + 1) * SUBB_ROWS, :]
 
         cl = lv & (WB - 1)
@@ -700,12 +720,22 @@ def _bitmap_chunk_body(c0_of, c, w_ref, loc_ref, y_ref, wp_rows):
         wlo = (cl >> 5) & (LANE - 1)
         bitpos = cl & 31
 
-        wg = jnp.zeros(cl.shape, jnp.int32)
-        for s in range(32):
+        def _sweep_step(s, wg):
             row = w_ref[pl.ds(c0 + s, 1), :]
             cand = jnp.take_along_axis(
                 jnp.broadcast_to(row, wlo.shape), wlo, axis=1)
-            wg = jnp.where(whi == s, cand, wg)
+            return jnp.where(whi == s, cand, wg)
+
+        if sweep == "fori":
+            # edges are chi-sorted within each tile (build lexsort):
+            # [smin, smax] typically spans a fraction of the 32 rows
+            wg = jax.lax.fori_loop((packed >> 5) & 31, (packed & 31) + 1,
+                                   _sweep_step,
+                                   jnp.zeros(cl.shape, jnp.int32))
+        else:
+            wg = jnp.zeros(cl.shape, jnp.int32)
+            for s in range(32):
+                wg = _sweep_step(s, wg)
         bit = jax.lax.shift_right_logical(wg, bitpos) & 1
         valid = jax.lax.shift_right_logical(lv, 30) & 1
         # 0/1 products: int8 one-hots with int32 accumulation are exact
@@ -731,18 +761,22 @@ def _bitmap_chunk_body(c0_of, c, w_ref, loc_ref, y_ref, wp_rows):
 
 
 def spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
-                         interpret: Optional[bool] = None) -> jnp.ndarray:
+                         interpret: Optional[bool] = None,
+                         sweep: Optional[str] = None) -> jnp.ndarray:
     """y[i] = count of plan edges (i,j) whose bit j is set in `words`
     (the packed frontier bitmap, ops/pallas/orpull.pack_bitmap). (y > 0) is
     the struconly or-pull result at any graph scale."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _spmv_bilinear_bitmap(plan, words, interpret)
+    if sweep is None:
+        sweep = os.environ.get("GRB_BILINEAR_SWEEP", "fori").lower()
+    return _spmv_bilinear_bitmap(plan, words, interpret, sweep)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sweep"))
 def _spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          sweep: str = "fori") -> jnp.ndarray:
     nw = words.shape[0]
     w2d = jnp.pad(words, (0, plan.n_wrows * LANE - nw)).reshape(
         plan.n_wrows, LANE)
@@ -768,7 +802,7 @@ def _spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
                             pltpu.SemaphoreType.DMA(())],
         )
         y2d = pl.pallas_call(
-            functools.partial(_kernel_bitmap_dma, wp_rows=wp_rows),
+            functools.partial(_kernel_bitmap_dma, wp_rows=wp_rows, sweep=sweep),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
                                            jnp.int32),
@@ -788,7 +822,7 @@ def _spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
                                    memory_space=pltpu.VMEM),
         )
         y2d = pl.pallas_call(
-            functools.partial(_kernel_bitmap_prefetch, wp_rows=wp_rows),
+            functools.partial(_kernel_bitmap_prefetch, wp_rows=wp_rows, sweep=sweep),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
                                            jnp.int32),
