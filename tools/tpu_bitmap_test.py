@@ -29,36 +29,38 @@ rng = np.random.default_rng(1)
 f_h = (rng.random(A.nrows) < 0.3).astype(np.float32)
 words = pack_bitmap(jnp.asarray(f_h))
 
-t0 = time.perf_counter()
-y = np.asarray(spmv_bilinear_bitmap(plan, words))
-log(f"compile+run {time.perf_counter()-t0:.1f}s")
-
 # golden: in-neighbor counts over CSC (vxm orientation)
 cptr = np.asarray(A.col_ptr).astype(np.int64)
 crow = np.asarray(A.csc_row_ind)[: A.nvals]
 colid = np.repeat(np.arange(A.ncols), np.diff(cptr))
 yref = np.zeros(A.ncols, np.int64)
 np.add.at(yref, colid, (f_h[crow] != 0).astype(np.int64))
-log(f"correct: {np.array_equal(y, yref)}")
 
 import functools
 
-
-@functools.partial(jax.jit, static_argnums=(1,))
-def chain(w, reps):
-    def body(c, _):
-        y = spmv_bilinear_bitmap(plan, c)
-        return c ^ (y[:w.shape[0]].astype(jnp.int32) & 1), ()
-    c, _ = jax.lax.scan(body, w, None, length=reps)
-    return c[0]
-
-
-np.asarray(chain(words, 2))
-np.asarray(chain(words, 12))
-ts = []
-for r in (2, 12, 2, 12):
+# r3 sweep variants: pruned fori [smin,smax] vs full unrolled 32 rows
+sweeps = sys.argv[2:] or ["fori", "unroll"]
+for sw in sweeps:
     t0 = time.perf_counter()
-    np.asarray(chain(words, r))
-    ts.append(time.perf_counter() - t0)
-per = ((ts[1] + ts[3]) - (ts[0] + ts[2])) / 20
-log(f"bitmap pull: {per*1e3:.2f} ms/iter ({A.nvals/per/1e9:.2f} Gedges/s)")
+    y = np.asarray(spmv_bilinear_bitmap(plan, words, sweep=sw))
+    ok = np.array_equal(y, yref)
+    t_c = time.perf_counter() - t0
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def chain(w, reps, sw=sw):
+        def body(c, _):
+            y = spmv_bilinear_bitmap(plan, c, sweep=sw)
+            return c ^ (y[:w.shape[0]].astype(jnp.int32) & 1), ()
+        c, _ = jax.lax.scan(body, w, None, length=reps)
+        return c[0]
+
+    np.asarray(chain(words, 2))
+    np.asarray(chain(words, 12))
+    ts = []
+    for r in (2, 12, 2, 12):
+        t0 = time.perf_counter()
+        np.asarray(chain(words, r))
+        ts.append(time.perf_counter() - t0)
+    per = ((ts[1] + ts[3]) - (ts[0] + ts[2])) / 20
+    log(f"bitmap pull[{sw:6s}]: correct={ok} {per*1e3:.2f} ms/iter "
+        f"({A.nvals/per/1e9:.2f} Gedges/s; compile {t_c:.0f}s)")
