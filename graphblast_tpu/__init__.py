@@ -63,7 +63,10 @@ from .operations import (
     assign_scatter,
     eWiseAdd,
     eWiseMult,
+    extract,
+    extract_col,
     extract_gather,
+    extract_matrix,
     mxm,
     mxm_dense,
     mxv,

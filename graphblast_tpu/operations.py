@@ -465,6 +465,168 @@ def extract_gather(u: Vector, indices: Vector, desc: Descriptor = DEFAULT) -> Ve
 
 
 # ---------------------------------------------------------------------------
+# extract (reference: operations.hpp:355-410 — all three variants print
+# "not implemented" and return GrB_NOT_IMPLEMENTED; implemented here)
+# ---------------------------------------------------------------------------
+
+
+def _host_indices(indices, bound: int, what: str):
+    idx = np.asarray(indices, np.int64)
+    if idx.size and (idx.min() < 0 or idx.max() >= bound):
+        raise dim.DimensionException(
+            f"{what}: index out of bounds (valid range [0, {bound}))")
+    return idx
+
+
+def extract(u: Vector, indices=None, mask: Optional[Vector] = None,
+            accum=None, desc: Descriptor = DEFAULT,
+            w: Optional[Vector] = None) -> Vector:
+    """w = w ⊕? mask .* u[indices] — subvector extraction (reference:
+    operations.hpp:355-371, a NOT_IMPLEMENTED stub there). indices is a
+    host index list (None = GrB_ALL). With `accum` and `w`, masked lanes
+    combine into w; without, masked-out lanes hold 0."""
+    _debug_op(desc, "extract", u=u, mask=mask)
+    ud = u.to_dense(0).dense
+    if indices is None:
+        out = ud
+        n_out = u.n
+    else:
+        idx = _host_indices(indices, u.n, "extract")
+        n_out = int(idx.size)
+        out = jnp.take(ud, jnp.asarray(idx, dtype=INDEX_DTYPE))
+    if mask is not None and mask.n != n_out:
+        raise dim.DimensionException(
+            f"extract: mask size {mask.n} != output size {n_out}")
+    mask_d = _mask_dense(mask)
+    if w is not None and w.n != n_out:
+        raise dim.DimensionException(
+            f"extract: w size {w.n} != output size {n_out}")
+    base = (w.to_dense(0).dense if w is not None
+            else jnp.zeros((n_out,), out.dtype))
+    if accum is not None:
+        out = _binop_of(accum, use_mul=False)(base, out)
+    if mask_d is not None:
+        from .ops.spmv import mask_pass
+
+        out = jnp.where(mask_pass(mask_d, desc.mask_scmp), out, base)
+    return Vector(n_out, Storage.DENSE, dense=out)
+
+
+def extract_matrix(A: Matrix, row_indices=None, col_indices=None,
+                   mask: Optional[Matrix] = None,
+                   desc: Descriptor = DEFAULT) -> Matrix:
+    """C = mask .* A[row_indices, col_indices] — submatrix extraction
+    (reference: operations.hpp:373-391, a NOT_IMPLEMENTED stub there).
+    Index lists are host arrays (None = GrB_ALL); duplicate indices
+    replicate rows/cols (GraphBLAS extract semantics). A construction op:
+    rebuilds via from_coo on the host stash, so the result carries fresh
+    stashes/plans like any built Matrix."""
+    host = getattr(A, "_host_csr", None)
+    if host is not None:
+        ptr = np.asarray(host[0])[: A.nrows + 1]
+        ci = np.asarray(host[1])[: A.nvals]
+        v = (np.asarray(host[2])[: A.nvals] if host[2] is not None
+             else np.ones(A.nvals, np.float32))
+    else:
+        ptr = np.asarray(A.row_ptr)[: A.nrows + 1]
+        ci = np.asarray(A.col_ind)[: A.nvals]
+        v = np.asarray(A.val)[: A.nvals]
+    ri = np.repeat(np.arange(A.nrows, dtype=np.int64),
+                   np.diff(ptr.astype(np.int64)))
+
+    if row_indices is None:
+        row_sel, nrows_out = None, A.nrows
+    else:
+        row_sel = _host_indices(row_indices, A.nrows, "extract_matrix rows")
+        nrows_out = int(row_sel.size)
+    if col_indices is None:
+        col_sel, ncols_out = None, A.ncols
+    else:
+        col_sel = _host_indices(col_indices, A.ncols, "extract_matrix cols")
+        ncols_out = int(col_sel.size)
+
+    # output (i', j') for every (selected occurrence of) A entry: duplicate
+    # selections replicate entries, so expand A rows per selection slot
+    if row_sel is None:
+        out_r, keep_r, out_c_src, out_v_src = ri, None, ci, v
+    else:
+        # occurrence k of row_sel picks all of A row row_sel[k]
+        deg = (ptr[row_sel + 1] - ptr[row_sel]).astype(np.int64)
+        out_r = np.repeat(np.arange(nrows_out, dtype=np.int64), deg)
+        take = np.concatenate(
+            [np.arange(ptr[r], ptr[r + 1], dtype=np.int64)
+             for r in row_sel]) if nrows_out else np.zeros(0, np.int64)
+        out_c_src, out_v_src = ci[take], v[take]
+    if col_sel is None:
+        out_c, out_rr, out_vv = out_c_src, out_r, out_v_src
+    else:
+        # col occurrence map: a source col may appear at several output
+        # positions — expand via sorted membership join
+        order = np.argsort(col_sel, kind="stable")
+        cs_sorted = col_sel[order]
+        lo = np.searchsorted(cs_sorted, out_c_src, side="left")
+        hi = np.searchsorted(cs_sorted, out_c_src, side="right")
+        reps = hi - lo
+        out_rr = np.repeat(out_r, reps)
+        out_vv = np.repeat(out_v_src, reps)
+        pos = (np.repeat(lo, reps)
+               + (np.arange(reps.sum()) - np.repeat(
+                   np.cumsum(reps) - reps, reps)))
+        out_c = order[pos]
+    if mask is not None:
+        if (mask.nrows, mask.ncols) != (nrows_out, ncols_out):
+            raise dim.DimensionException(
+                f"extract_matrix: mask {mask.shape} != output "
+                f"({nrows_out}, {ncols_out})")
+        mhost = getattr(mask, "_host_csr", None)
+        mptr = (np.asarray(mhost[0]) if mhost is not None
+                else np.asarray(mask.row_ptr))[: mask.nrows + 1]
+        mci = (np.asarray(mhost[1]) if mhost is not None
+               else np.asarray(mask.col_ind))[: mask.nvals]
+        mri = np.repeat(np.arange(mask.nrows, dtype=np.int64),
+                        np.diff(mptr.astype(np.int64)))
+        mkey = np.sort(mri * ncols_out + mci)
+        key = out_rr * ncols_out + out_c
+        p = np.searchsorted(mkey, key)
+        inmask = (p < mkey.size) & (mkey[np.minimum(p, mkey.size - 1)] == key)
+        out_rr, out_c, out_vv = out_rr[inmask], out_c[inmask], out_vv[inmask]
+    return Matrix.from_coo(out_rr, out_c, out_vv, nrows_out, ncols_out,
+                           fmt=A.format)
+
+
+def extract_col(A: Matrix, row_indices, col_index: int,
+                mask: Optional[Vector] = None, accum=None,
+                desc: Descriptor = DEFAULT,
+                w: Optional[Vector] = None) -> Vector:
+    """w = w ⊕? mask .* A[row_indices, col_index] — column extraction
+    (reference: operations.hpp:393-410, a NOT_IMPLEMENTED stub there).
+    Served from the CSC orientation's column segment."""
+    if not (0 <= col_index < A.ncols):
+        raise dim.DimensionException(
+            f"extract_col: col {col_index} out of range [0, {A.ncols})")
+    host = getattr(A, "_host_csc", None)
+    if host is not None:
+        cptr = np.asarray(host[0])[: A.ncols + 1]
+        rix = np.asarray(host[1])[: A.nvals]
+        cval = (np.asarray(host[2])[: A.nvals] if host[2] is not None
+                else np.ones(A.nvals, np.float32))
+    elif A.col_ptr is not None:
+        cptr = np.asarray(A.col_ptr)[: A.ncols + 1]
+        rix = np.asarray(A.csc_row_ind)[: A.nvals]
+        cval = np.asarray(A.csc_val)[: A.nvals]
+    else:
+        raise ValueError("extract_col needs the CSC orientation "
+                         "(GRB_SPARSE_MATRIX_FORMAT includes CSC)")
+    s, e = int(cptr[col_index]), int(cptr[col_index + 1])
+    col = np.zeros(A.nrows, cval.dtype)
+    col[rix[s:e]] = cval[s:e]
+    sel = (np.arange(A.nrows, dtype=np.int64) if row_indices is None
+           else _host_indices(row_indices, A.nrows, "extract_col"))
+    u = Vector.dense_from(jnp.asarray(col))
+    return extract(u, sel, mask=mask, accum=accum, desc=desc, w=w)
+
+
+# ---------------------------------------------------------------------------
 # matrix scaling (reference: eWiseMult matrix∘scalar ewisemult.hpp:275-344 and
 # matrix∘broadcast-vector eWiseMultRowInner/ColInner ewisemult.hpp:470-620 —
 # the PR driver's A = alpha·A/outdegrees prep, example/gpr.cu:82-98)
