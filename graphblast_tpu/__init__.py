@@ -60,8 +60,13 @@ from .operations import (
     apply_vxm,
     assign,
     assign_indexed,
+    assign_matrix,
+    assign_matrix_col,
+    assign_matrix_row,
+    assign_matrix_scalar,
     assign_scatter,
     eWiseAdd,
+    eWiseAdd_matrix,
     eWiseMult,
     extract,
     extract_col,

@@ -627,6 +627,222 @@ def extract_col(A: Matrix, row_indices, col_index: int,
 
 
 # ---------------------------------------------------------------------------
+# matrix assign + matrix eWiseAdd (reference: operations.hpp:300-318 and
+# 440-552 — five more NOT_IMPLEMENTED stubs; implemented here as host
+# construction ops, same altitude as build/extract)
+# ---------------------------------------------------------------------------
+
+
+def _host_coo_of(M: Matrix):
+    host = getattr(M, "_host_csr", None)
+    if host is not None:
+        ptr = np.asarray(host[0])[: M.nrows + 1]
+        ci = np.asarray(host[1])[: M.nvals]
+        v = (np.asarray(host[2])[: M.nvals] if host[2] is not None
+             else np.ones(M.nvals, np.float32))
+    else:
+        ptr = np.asarray(M.row_ptr)[: M.nrows + 1]
+        ci = np.asarray(M.col_ind)[: M.nvals]
+        v = np.asarray(M.val)[: M.nvals]
+    ri = np.repeat(np.arange(M.nrows, dtype=np.int64),
+                   np.diff(ptr.astype(np.int64)))
+    return ri, ci.astype(np.int64), v
+
+
+def _mask_keys(mask: Matrix):
+    mr, mc, _ = _host_coo_of(mask)
+    return np.sort(mr * mask.ncols + mc)
+
+
+def _in_sorted(keys_sorted, q):
+    p = np.searchsorted(keys_sorted, q)
+    return ((p < keys_sorted.size)
+            & (keys_sorted[np.minimum(p, max(keys_sorted.size - 1, 0))] == q)
+            if keys_sorted.size else np.zeros(q.shape, bool))
+
+
+def _dedupe_coo(keys, vals, combine=None):
+    """Combine duplicate keys (returns sorted keys). from_coo stores raw
+    COO — duplicate slots are legal stored entries — so construction ops
+    normalize first. combine=None keeps the LAST occurrence (matching
+    to_dense's write order); otherwise duplicates fold left-to-right with
+    `combine` (log-pass pairwise merge — combine must be associative)."""
+    order = np.argsort(keys, kind="stable")
+    ks, vs = keys[order], np.asarray(vals)[order]
+    while ks.size:
+        head = np.r_[True, ks[1:] != ks[:-1]]
+        if head.all():
+            break
+        idx = np.arange(ks.size)
+        run = idx - np.maximum.accumulate(np.where(head, idx, -1))
+        odd = (run & 1) == 1
+        tgt = np.flatnonzero(odd) - 1
+        vs = vs.copy()
+        if combine is None:
+            vs[tgt] = vs[tgt + 1]
+        else:
+            vs[tgt] = np.asarray(combine(vs[tgt], vs[tgt + 1]),
+                                 dtype=vs.dtype)
+        ks, vs = ks[~odd], vs[~odd]
+    return ks, vs
+
+
+def _sel_or_all(indices, bound: int, what: str):
+    if indices is None:
+        return np.arange(bound, dtype=np.int64)
+    sel = _host_indices(indices, bound, what)
+    if np.unique(sel).size != sel.size:
+        raise ValueError(f"{what}: duplicate indices are undefined for "
+                         "assign (GraphBLAS 4.3.7)")
+    return sel
+
+
+def _assign_entries(C: Matrix, tr, tc, tv, accum) -> Matrix:
+    """Core subassign: target entries (tr, tc, tv) land in C — overwriting
+    colliding C entries (no accum) or combining with them (accum); C
+    entries elsewhere are kept (subassign-without-REPLACE semantics)."""
+    cr, cc, cv = _host_coo_of(C)
+    key_c, cv = _dedupe_coo(cr * C.ncols + cc, cv)           # last wins,
+    key_ts, tv = _dedupe_coo(tr * C.ncols + tc, tv)          # like to_dense
+    hit = _in_sorted(key_ts, key_c)
+    if accum is not None and hit.any():
+        binop = _binop_of(accum, use_mul=False)
+        p = np.searchsorted(key_ts, key_c[hit])
+        tv = tv.copy()
+        tv[p] = np.asarray(binop(cv[hit].astype(tv.dtype), tv[p]),
+                           dtype=tv.dtype)
+    out_k = np.concatenate([key_c[~hit], key_ts])
+    out_v = np.concatenate([cv[~hit].astype(tv.dtype), tv])
+    return Matrix.from_coo(out_k // C.ncols, out_k % C.ncols, out_v,
+                           C.nrows, C.ncols, fmt=C.format)
+
+
+def assign_matrix(C: Matrix, A: Matrix, row_indices=None, col_indices=None,
+                  mask: Optional[Matrix] = None, accum=None,
+                  desc: Descriptor = DEFAULT) -> Matrix:
+    """C[row_indices, col_indices] ⊕?= mask .* A (reference:
+    operations.hpp:440-460, a NOT_IMPLEMENTED stub there). A is shaped
+    (len(row_indices), len(col_indices)); mask shares A's shape."""
+    ri_sel = _sel_or_all(row_indices, C.nrows, "assign_matrix rows")
+    ci_sel = _sel_or_all(col_indices, C.ncols, "assign_matrix cols")
+    if (A.nrows, A.ncols) != (ri_sel.size, ci_sel.size):
+        raise dim.DimensionException(
+            f"assign_matrix: A {A.shape} != selection "
+            f"({ri_sel.size}, {ci_sel.size})")
+    ar, ac, av = _host_coo_of(A)
+    if mask is not None:
+        if (mask.nrows, mask.ncols) != (A.nrows, A.ncols):
+            raise dim.DimensionException(
+                f"assign_matrix: mask {mask.shape} != A {A.shape}")
+        keep = _in_sorted(_mask_keys(mask), ar * A.ncols + ac)
+        ar, ac, av = ar[keep], ac[keep], av[keep]
+    return _assign_entries(C, ri_sel[ar], ci_sel[ac], av, accum)
+
+
+def assign_matrix_scalar(C: Matrix, value, row_indices=None,
+                         col_indices=None, mask: Optional[Matrix] = None,
+                         accum=None, desc: Descriptor = DEFAULT) -> Matrix:
+    """C[row_indices, col_indices] ⊕?= mask .* value (reference:
+    operations.hpp:535-552 stub). Materializes the len(ri)×len(ci) block —
+    a host construction op, keep selections preprocessing-sized."""
+    ri_sel = _sel_or_all(row_indices, C.nrows, "assign_matrix_scalar rows")
+    ci_sel = _sel_or_all(col_indices, C.ncols, "assign_matrix_scalar cols")
+    tr = np.repeat(np.arange(ri_sel.size, dtype=np.int64), ci_sel.size)
+    tc = np.tile(np.arange(ci_sel.size, dtype=np.int64), ri_sel.size)
+    if mask is not None:
+        if (mask.nrows, mask.ncols) != (ri_sel.size, ci_sel.size):
+            raise dim.DimensionException(
+                f"assign_matrix_scalar: mask {mask.shape} != selection")
+        keep = _in_sorted(_mask_keys(mask), tr * ci_sel.size + tc)
+        tr, tc = tr[keep], tc[keep]
+    tv = np.full(tr.size, value, np.float32)
+    return _assign_entries(C, ri_sel[tr], ci_sel[tc], tv, accum)
+
+
+def assign_matrix_col(C: Matrix, u: Vector, row_indices, col_index: int,
+                      mask: Optional[Vector] = None, accum=None,
+                      desc: Descriptor = DEFAULT) -> Matrix:
+    """C[row_indices, col_index] ⊕?= mask .* u (reference:
+    operations.hpp:462-480 stub). Dense-vector semantics: every u lane is
+    assigned (masked lanes only when a mask is given)."""
+    if not (0 <= col_index < C.ncols):
+        raise dim.DimensionException(
+            f"assign_matrix_col: col {col_index} out of range")
+    ri_sel = _sel_or_all(row_indices, C.nrows, "assign_matrix_col rows")
+    uv = np.asarray(u.to_dense(0).dense)
+    if uv.shape[0] != ri_sel.size:
+        raise dim.DimensionException(
+            f"assign_matrix_col: u size {uv.shape[0]} != {ri_sel.size}")
+    keep = np.ones(ri_sel.size, bool)
+    if mask is not None:
+        if mask.n != ri_sel.size:
+            raise dim.DimensionException("assign_matrix_col: mask size")
+        keep = np.asarray(_mask_dense(mask)) != 0
+        if desc.mask_scmp:
+            keep = ~keep
+    tr = ri_sel[keep]
+    tv = uv[keep]
+    tc = np.full(tr.size, col_index, np.int64)
+    return _assign_entries(C, tr, tc, tv, accum)
+
+
+def assign_matrix_row(C: Matrix, u: Vector, row_index: int, col_indices,
+                      mask: Optional[Vector] = None, accum=None,
+                      desc: Descriptor = DEFAULT) -> Matrix:
+    """C[row_index, col_indices] ⊕?= mask .* u (reference:
+    operations.hpp:482-500 stub)."""
+    if not (0 <= row_index < C.nrows):
+        raise dim.DimensionException(
+            f"assign_matrix_row: row {row_index} out of range")
+    ci_sel = _sel_or_all(col_indices, C.ncols, "assign_matrix_row cols")
+    uv = np.asarray(u.to_dense(0).dense)
+    if uv.shape[0] != ci_sel.size:
+        raise dim.DimensionException(
+            f"assign_matrix_row: u size {uv.shape[0]} != {ci_sel.size}")
+    keep = np.ones(ci_sel.size, bool)
+    if mask is not None:
+        if mask.n != ci_sel.size:
+            raise dim.DimensionException("assign_matrix_row: mask size")
+        keep = np.asarray(_mask_dense(mask)) != 0
+        if desc.mask_scmp:
+            keep = ~keep
+    tc = ci_sel[keep]
+    tv = uv[keep]
+    tr = np.full(tc.size, row_index, np.int64)
+    return _assign_entries(C, tr, tc, tv, accum)
+
+
+def eWiseAdd_matrix(A: Matrix, B: Matrix, op,
+                    mask: Optional[Matrix] = None,
+                    desc: Descriptor = DEFAULT) -> Matrix:
+    """C = mask .* (A ⊕ B) over the UNION structure (reference:
+    operations.hpp:300-318, a NOT_IMPLEMENTED stub there). `op` may be a
+    BinaryOp, Monoid, or Semiring (its ⊕ is used, per the reference
+    comment). Entries present in only one operand pass through."""
+    dim.check_row_row(A, B, "eWiseAdd_matrix")
+    if A.ncols != B.ncols:
+        raise dim.DimensionException(
+            f"eWiseAdd_matrix: A {A.shape} vs B {B.shape}")
+    binop = _binop_of(op, use_mul=False)
+    ar, ac, av = _host_coo_of(A)
+    br, bc, bv = _host_coo_of(B)
+    keys = np.concatenate([ar * A.ncols + ac, br * A.ncols + bc])
+    vals = np.concatenate([av.astype(np.float32), bv.astype(np.float32)])
+    # one dedupe pass folds within-operand duplicate slots AND the A∩B
+    # intersection with the same ⊕ (stable sort keeps A's entry first for
+    # non-commutative ops)
+    uk, out_v = _dedupe_coo(keys, vals, combine=binop)
+    out_r, out_c = uk // A.ncols, uk % A.ncols
+    if mask is not None:
+        if (mask.nrows, mask.ncols) != (A.nrows, A.ncols):
+            raise dim.DimensionException("eWiseAdd_matrix: mask shape")
+        keep = _in_sorted(_mask_keys(mask), uk)
+        out_r, out_c, out_v = out_r[keep], out_c[keep], out_v[keep]
+    return Matrix.from_coo(out_r, out_c, out_v.astype(np.float32),
+                           A.nrows, A.ncols, fmt=A.format)
+
+
+# ---------------------------------------------------------------------------
 # matrix scaling (reference: eWiseMult matrix∘scalar ewisemult.hpp:275-344 and
 # matrix∘broadcast-vector eWiseMultRowInner/ColInner ewisemult.hpp:470-620 —
 # the PR driver's A = alpha·A/outdegrees prep, example/gpr.cu:82-98)

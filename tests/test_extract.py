@@ -10,8 +10,9 @@ from graphblast_tpu.semiring import Plus
 
 def _rand_matrix(nr, nc, m):
     rng = np.random.default_rng(77)
-    rows = rng.integers(0, nr, m)
-    cols = rng.integers(0, nc, m)
+    flat = rng.choice(nr * nc, size=m, replace=False)  # unique (r, c):
+    rows, cols = flat // nc, flat % nc  # duplicate slots are legal but
+    #                                     their dense oracle is ambiguous
     vals = rng.standard_normal(m).astype(np.float32)
     A = gb.Matrix.from_coo(rows, cols, vals, nr, nc)
     dense = np.zeros((nr, nc), np.float32)
