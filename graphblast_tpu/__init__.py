@@ -78,6 +78,8 @@ from .operations import (
     reduce_matrix,
     reduce_matrix_to_vector,
     reduce_vector,
+    scale_matrix,
+    scale_vector,
     scatter,
     trace_mxm_transpose,
     transpose,

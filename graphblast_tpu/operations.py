@@ -874,6 +874,26 @@ def eWiseMult_matrix_scalar(A: Matrix, op, value) -> Matrix:
                        breaks_symmetry=False)
 
 
+def scale_matrix(A: Matrix, op, value, desc: Descriptor = DEFAULT) -> Matrix:
+    """B = op(A, val) over stored values (reference: scale,
+    operations.hpp:711-726 — a NOT_IMPLEMENTED stub there)."""
+    return eWiseMult_matrix_scalar(A, op, value)
+
+
+def scale_vector(u: Vector, op, value, desc: Descriptor = DEFAULT) -> Vector:
+    """w = op(u, val) over stored values (reference: scale,
+    operations.hpp:728-741 — a NOT_IMPLEMENTED stub there). Sparse input
+    scales only the stored entries; dense input scales every lane (all
+    lanes are stored in the dense encoding)."""
+    binop = _binop_of(op, use_mul=True)
+    if u.storage == Storage.SPARSE:
+        return Vector(u.n, Storage.SPARSE, sind=u.sind,
+                      sval=binop(u.sval, jnp.asarray(value, u.sval.dtype)),
+                      snvals=u.snvals)
+    return Vector(u.n, Storage.DENSE,
+                  dense=binop(u.dense, jnp.asarray(value, u.dense.dtype)))
+
+
 def scale_matrix_rows(A: Matrix, vec: Vector, op) -> Matrix:
     """A'[i,j] = op(A[i,j], vec[i]) (reference: eWiseMultRowInner)."""
     dim.check_row_size(A, vec, "scaleRows", "vec")

@@ -111,3 +111,20 @@ def test_ewiseadd_matrix_masked_and_checks():
                                rtol=1e-5, atol=1e-6)
     with pytest.raises(DimensionException):
         gb.eWiseAdd_matrix(A, _mat(rng, 5, 4, 5)[0], PlusMultipliesSemiring)
+
+
+def test_scale_matrix_and_vector():
+    """scale (reference operations.hpp:711-741 stubs): op(stored, val)."""
+    rng = np.random.default_rng(11)
+    A, D = _mat(rng, 6, 6, 12)
+    B = gb.scale_matrix(A, gb.semiring.Multiplies, 3.0)
+    np.testing.assert_allclose(np.asarray(B.to_dense()), D * 3.0, rtol=1e-6)
+
+    u = gb.Vector.dense_from(np.arange(5, dtype=np.float32))
+    np.testing.assert_allclose(
+        gb.scale_vector(u, gb.semiring.Multiplies, 2.0).to_numpy(),
+        np.arange(5) * 2.0)
+    us = gb.Vector.sparse_from(8, [1, 4], [3.0, 5.0])
+    ws = gb.scale_vector(us, gb.semiring.Plus, 10.0)
+    out = ws.to_numpy()
+    assert out[1] == 13.0 and out[4] == 15.0 and out[0] == 0.0
