@@ -46,7 +46,12 @@ class Descriptor:
     #     TPU DualFrontier keeps both images live, nothing to reuse.
     #   endbit — truncates CUB radix-sort passes to ceil(log2 n) bits
     #     (spmspv_inner.hpp:223-282); XLA's sort is comparison-based, so key
-    #     width does not change its cost.
+    #     width does not change its cost. The endbit-SPIRIT optimization
+    #     (cut per-push sort work) is structural instead: Min/Max pushes
+    #     sort with the value as a secondary key so the segment head/tail
+    #     IS the reduction (no segmented scan — ops/spmspv.py:182-211),
+    #     struconly pushes sort a single int32 key, and tiered workspaces
+    #     (push_tiers) shrink the sorted array itself.
     #   fusedmask — masks ARE always fused on TPU (XLA fuses the select into
     #     the kernel epilogue); False has nothing cheaper to fall back to.
     earlyexit: bool = False        # accepted-no-op (see above)
