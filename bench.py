@@ -111,12 +111,21 @@ def run_stage(args, stage: str):
                          max(1024, int(A.nnz_pad * 0.5) // 1024 * 1024)),
             switchpoint=0.01, mode=mode, sort_push=True, max_niter=1000)
 
+        # reached/reached_edges are reduced ON DEVICE to two scalars — a
+        # full levels fetch is 8-67 MB over the ~0.5 MB/s relay (minutes of
+        # the stage budget at scale 22/24)
+        deg_dev = jnp.diff(A.row_ptr[: A.nrows + 1]).astype(jnp.int32)
+
+        def _reach_stats(v):
+            return (jnp.sum((v != 0).astype(jnp.int32)),
+                    jnp.sum(jnp.where(v != 0, deg_dev, 0)))
+
         if A.nrows <= 2_000_000:
             # ONE compiled program serves correctness check + timing: scan
             # all sources (tiled ×2 to amortize the fixed dispatch cost) and
-            # also return the first source's levels for the reached-edges
-            # metric — a single compile where r2's two-length marginal
-            # protocol needed two and lost the round to the compile bill
+            # also return the first source's reach stats — a single compile
+            # where r2's two-length marginal protocol needed two and lost
+            # the round to the compile bill
             reps = max(2, 16 // max(len(sources), 1))
             s_all = np.tile(sources, reps).astype(np.int32)
             nruns = len(s_all) + 1   # the v0 run is computed each call too
@@ -130,11 +139,11 @@ def run_stage(args, stage: str):
                     return c + v[0] * 1e-30, ()
                 c, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
                                     srcs)
-                return c, v0
+                return (c,) + _reach_stats(v0)
 
             t0 = time.perf_counter()
-            _, v0 = run_all(jnp.asarray(s_all))
-            v_h = np.asarray(v0)
+            _, r0, re0 = run_all(jnp.asarray(s_all))
+            reached, reached_edges = int(r0), int(re0)
             log(f"[{stage}] compiled+first run in "
                 f"{time.perf_counter() - t0:.1f}s")
 
@@ -146,10 +155,11 @@ def run_stage(args, stage: str):
             # scan-of-while-loops above ~2M vertices overloads the remote
             # compiler (observed broken pipe at scale 22) — per-dispatch
             # timing, overhead-corrected below
-            single = jax.jit(lambda s: _bfs_fused(A, s, plan, **kw)[0])
+            single = jax.jit(
+                lambda s: _reach_stats(_bfs_fused(A, s, plan, **kw)[0]))
             t0 = time.perf_counter()
-            v_h = np.asarray(single(jnp.asarray(int(sources[0]),
-                                                INDEX_DTYPE)))
+            r0, re0 = single(jnp.asarray(int(sources[0]), INDEX_DTYPE))
+            reached, reached_edges = int(r0), int(re0)
             log(f"[{stage}] compiled+first run in "
                 f"{time.perf_counter() - t0:.1f}s")
             nruns = len(sources)
@@ -157,12 +167,9 @@ def run_stage(args, stage: str):
             def timed():
                 t0 = time.perf_counter()
                 for s in sources:
-                    np.asarray(jnp.ravel(
-                        single(jnp.asarray(int(s), INDEX_DTYPE)))[0])
+                    # fetching the reached scalar forces the full BFS
+                    np.asarray(single(jnp.asarray(int(s), INDEX_DTYPE))[0])
                 return time.perf_counter() - t0
-
-        reached = int((v_h != 0).sum())
-        reached_edges = int(deg[v_h != 0].sum())
         if reached < 2:
             raise RuntimeError(f"BFS reached only {reached} vertices — "
                                f"refusing to report a rate")
@@ -195,6 +202,8 @@ def run_stage(args, stage: str):
         s_all = np.tile(sources, reps).astype(np.int32)
         nruns = len(s_all) + 1   # the v0 run is computed each call too
 
+        deg_dev = jnp.diff(A.row_ptr[: A.nrows + 1]).astype(jnp.int32)
+
         @jax.jit
         def run_all(srcs):
             v0, _ = _sssp_fused(A, srcs[0], **kw)
@@ -203,14 +212,16 @@ def run_stage(args, stage: str):
                 v, _ = _sssp_fused(A, s, **kw)
                 return c + v[0] * 1e-30, ()
             c, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), srcs)
-            return c, v0
+            # unreachable sentinel is FLT_MAX (sssp.hpp:26 convention);
+            # reach stats reduce on device — a full fetch is minutes of
+            # relay time at big scales
+            fin = v0 < jnp.finfo(jnp.float32).max
+            return c, jnp.sum(jnp.where(fin, deg_dev, 0))
 
         t0 = time.perf_counter()
-        _, v0 = run_all(jnp.asarray(s_all))
-        v_h = np.asarray(v0)
+        _, re0 = run_all(jnp.asarray(s_all))
+        reached_edges = int(re0)
         log(f"[sssp] compiled+first run in {time.perf_counter() - t0:.1f}s")
-        # unreachable sentinel is FLT_MAX (sssp.hpp:26 convention)
-        reached_edges = int(deg[v_h < np.finfo(np.float32).max].sum())
 
         over = _dispatch_overhead_s()
         ts = []
@@ -514,6 +525,8 @@ def main():
         ("sssp", "sssp", args.scale, args.sources, 1.0),
         ("bfs_pushpull", "bfs_pushpull", args.scale, args.sources, 1.0),
         ("tc", "tc", min(args.scale, 18), 1, 1.0),
+        ("tc15", "tc", 15, 1, 1.0),   # fallback: records a TC number even
+        #                               if the scale-18 stage times out
         ("bfs22", "bfs", 22, 2, 2.0),
         ("spmv22", "spmv", 22, 1, 2.0),   # value SpMV above the VMEM limit:
         #                                   exercises the windowed-DMA plan
@@ -526,6 +539,8 @@ def main():
     for stage, real_stage, stage_scale, nsources, mult in plan:
         if stage in ("bfs22", "spmv22", "bfs24") and args.scale >= stage_scale:
             continue   # main scale already covers it
+        if stage == "tc15" and ("tc_ms" in merged or args.scale <= 15):
+            continue   # scale-18 TC landed (or was already the main run)
         tmo = STAGE_TIMEOUT * mult
         remaining = TOTAL_TIMEOUT - (time.perf_counter() - t_start)
         if remaining < 180:
@@ -547,9 +562,18 @@ def main():
                 sys.stderr.write(proc.stderr)
                 sys.stderr.flush()
             line = (proc.stdout.strip().splitlines()[-1]
-                    if proc.stdout.strip() else "{}")
+                    if proc.stdout.strip() else "")
+            if proc.returncode != 0 or not line.startswith("{"):
+                # a crashed stage (assert, OOM, backend error) must never
+                # masquerade as a clean run in stages_done
+                merged["stages_skipped"].append(f"{stage}:rc{proc.returncode}")
+                print(f"[{stage}] stage exited rc={proc.returncode} with "
+                      f"{'no JSON' if not line else 'bad output'} — skipped",
+                      file=sys.stderr, flush=True)
+                _emit(merged, args)
+                continue
             vals = json.loads(line)
-            if stage == "tc":
+            if stage in ("tc", "tc15"):
                 # tc may run on a capped scale — don't clobber n/nnz/device
                 vals = {k: v for k, v in vals.items() if k.startswith("tc_")}
             elif stage in ("bfs22", "bfs24"):

@@ -337,25 +337,35 @@ def apply_matrix(A: Matrix, fn, desc: Descriptor = DEFAULT) -> Matrix:
             new = np.asarray([fn(x) for x in vh], dtype=vh.dtype)
             out = np.zeros(dev_template.shape, dev_template.dtype)
             out[: len(new)] = new
-            return jnp.asarray(out)
+            return jnp.asarray(out), new
 
         host_csr = getattr(A, "_host_csr", None)
         host_csc = getattr(A, "_host_csc", None)
-        new_val = host_apply(
+        new_val, new_val_h = host_apply(
             host_csr[2] if host_csr is not None and host_csr[2] is not None
             else np.asarray(A.val), A.val)
         if A.csc_val is not None:
             # the CSC copy re-applies fn on its own ordering (elementwise fn
             # preserves value symmetry, so aliased structure stays valid)
-            new_csc = host_apply(
+            new_csc, new_csc_h = host_apply(
                 host_csc[2] if host_csc is not None and host_csc[2] is not None
                 else np.asarray(A.csc_val), A.csc_val)
         else:
-            new_csc = None
-        return Matrix(A.nrows, A.ncols, A.nvals, A.row_ptr, A.col_ind,
-                      A.row_ind, new_val, A.col_ptr, A.csc_row_ind,
-                      A.csc_col_ind, new_csc, format=A.format,
-                      symmetric=A.symmetric)
+            new_csc, new_csc_h = None, None
+        out = Matrix(A.nrows, A.ncols, A.nvals, A.row_ptr, A.col_ind,
+                     A.row_ind, new_val, A.col_ptr, A.csc_row_ind,
+                     A.csc_col_ind, new_csc, format=A.format,
+                     symmetric=A.symmetric)
+        # re-stash the freshly computed HOST value arrays — dropping them
+        # would push downstream plan builders onto the ~0.5 MB/s relay
+        # D2H path (CLAUDE.md)
+        if host_csr is not None:
+            object.__setattr__(out, "_host_csr",
+                               (host_csr[0], host_csr[1], new_val_h))
+        if host_csc is not None and new_csc_h is not None:
+            object.__setattr__(out, "_host_csc",
+                               (host_csc[0], host_csc[1], new_csc_h))
+        return out
 
     def dev_apply(v, r, c):
         # keep pad slots bit-identical (fn(0) may be nonzero and pads must
@@ -586,12 +596,10 @@ def extract_matrix(A: Matrix, row_indices=None, col_indices=None,
         mri = np.repeat(np.arange(mask.nrows, dtype=np.int64),
                         np.diff(mptr.astype(np.int64)))
         mkey = np.sort(mri * ncols_out + mci)
-        key = out_rr * ncols_out + out_c
-        p = np.searchsorted(mkey, key)
-        inmask = (p < mkey.size) & (mkey[np.minimum(p, mkey.size - 1)] == key)
+        inmask = _in_sorted(mkey, out_rr * ncols_out + out_c)
         out_rr, out_c, out_vv = out_rr[inmask], out_c[inmask], out_vv[inmask]
     return Matrix.from_coo(out_rr, out_c, out_vv, nrows_out, ncols_out,
-                           fmt=A.format)
+                           dtype=out_vv.dtype, fmt=A.format)
 
 
 def extract_col(A: Matrix, row_indices, col_index: int,
@@ -712,9 +720,11 @@ def _assign_entries(C: Matrix, tr, tc, tv, accum) -> Matrix:
         tv[p] = np.asarray(binop(cv[hit].astype(tv.dtype), tv[p]),
                            dtype=tv.dtype)
     out_k = np.concatenate([key_c[~hit], key_ts])
-    out_v = np.concatenate([cv[~hit].astype(tv.dtype), tv])
+    # result keeps C's dtype (finding: from_coo defaults to f32 and would
+    # silently corrupt int matrices above 2^24)
+    out_v = np.concatenate([cv[~hit], tv.astype(cv.dtype)])
     return Matrix.from_coo(out_k // C.ncols, out_k % C.ncols, out_v,
-                           C.nrows, C.ncols, fmt=C.format)
+                           C.nrows, C.ncols, dtype=cv.dtype, fmt=C.format)
 
 
 def assign_matrix(C: Matrix, A: Matrix, row_indices=None, col_indices=None,
@@ -755,7 +765,7 @@ def assign_matrix_scalar(C: Matrix, value, row_indices=None,
                 f"assign_matrix_scalar: mask {mask.shape} != selection")
         keep = _in_sorted(_mask_keys(mask), tr * ci_sel.size + tc)
         tr, tc = tr[keep], tc[keep]
-    tv = np.full(tr.size, value, np.float32)
+    tv = np.full(tr.size, value, np.dtype(C.dtype))
     return _assign_entries(C, ri_sel[tr], ci_sel[tc], tv, accum)
 
 
@@ -827,7 +837,8 @@ def eWiseAdd_matrix(A: Matrix, B: Matrix, op,
     ar, ac, av = _host_coo_of(A)
     br, bc, bv = _host_coo_of(B)
     keys = np.concatenate([ar * A.ncols + ac, br * A.ncols + bc])
-    vals = np.concatenate([av.astype(np.float32), bv.astype(np.float32)])
+    out_dt = np.promote_types(np.dtype(A.dtype), np.dtype(B.dtype))
+    vals = np.concatenate([av.astype(out_dt), bv.astype(out_dt)])
     # one dedupe pass folds within-operand duplicate slots AND the A∩B
     # intersection with the same ⊕ (stable sort keeps A's entry first for
     # non-commutative ops)
@@ -838,8 +849,8 @@ def eWiseAdd_matrix(A: Matrix, B: Matrix, op,
             raise dim.DimensionException("eWiseAdd_matrix: mask shape")
         keep = _in_sorted(_mask_keys(mask), uk)
         out_r, out_c, out_v = out_r[keep], out_c[keep], out_v[keep]
-    return Matrix.from_coo(out_r, out_c, out_v.astype(np.float32),
-                           A.nrows, A.ncols, fmt=A.format)
+    return Matrix.from_coo(out_r, out_c, out_v, A.nrows, A.ncols,
+                           dtype=out_dt, fmt=A.format)
 
 
 # ---------------------------------------------------------------------------

@@ -210,14 +210,16 @@ def spgemm_masked(A: Matrix, B: Matrix, M: Matrix, semiring: Semiring,
                       symmetric=False)
     max_lanes = max(max_lanes, int(deg_np.max()))
 
+    # greedy chunking by exact expansion size, O(n_chunks·log nvals) via
+    # prefix-sum searchsorted (the per-entry Python loop cost minutes of
+    # host time at scale-18+ mask sizes)
+    csum = np.concatenate([[0], np.cumsum(deg_np)])
     bounds = [0]
-    acc = 0
-    for tt in range(nvals):
-        if acc + deg_np[tt] > max_lanes and acc > 0:
-            bounds.append(tt)
-            acc = 0
-        acc += int(deg_np[tt])
-    bounds.append(nvals)
+    while bounds[-1] < nvals:
+        s = bounds[-1]
+        tt = int(np.searchsorted(csum, csum[s] + max_lanes,
+                                 side="right")) - 1
+        bounds.append(min(max(tt, s + 1), nvals))
     n_chunks = len(bounds) - 1
     acap = max(round_up(max(bounds[c + 1] - bounds[c]
                             for c in range(n_chunks)), 1024), 1024)

@@ -128,3 +128,23 @@ def test_scale_matrix_and_vector():
     ws = gb.scale_vector(us, gb.semiring.Plus, 10.0)
     out = ws.to_numpy()
     assert out[1] == 13.0 and out[4] == 15.0 and out[0] == 0.0
+
+
+def test_review_regressions_empty_mask_and_dtype():
+    """r3 self-review findings: empty-structure mask must not crash
+    extract_matrix, and construction ops must keep the input dtype."""
+    rng = np.random.default_rng(12)
+    A, D = _mat(rng, 6, 6, 10)
+    M0 = gb.Matrix.from_coo([], [], [], 3, 3)
+    C = gb.extract_matrix(A, [0, 1, 2], [0, 1, 2], mask=M0)
+    assert C.nvals == 0
+
+    # int32 matrix above 2^24: float32 coercion would silently round
+    big = np.int32(2**24 + 1)
+    Ci = gb.Matrix.from_coo([0, 1], [0, 1], np.asarray([big, 7], np.int32),
+                            4, 4, dtype=np.int32)
+    out = gb.assign_matrix_scalar(Ci, 5, [2], [3])
+    assert out.dtype == np.int32
+    assert int(np.asarray(out.to_dense())[0, 0]) == int(big)
+    out2 = gb.eWiseAdd_matrix(Ci, Ci, gb.semiring.PlusMultipliesSemiring)
+    assert int(np.asarray(out2.to_dense())[1, 1]) == 14

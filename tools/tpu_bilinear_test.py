@@ -120,7 +120,8 @@ for combo in combos:
         per = marginal(chain_old, 2, 6)
     else:
         parts = combo.split(":")
-        sweep_mode, mm = parts[0], parts[1]
+        sweep_mode = parts[0]
+        mm = parts[1] if len(parts) > 1 else "highest"
         p = plan_packed() if "p2" in parts[2:] else plan
         y = np.asarray(spmv_bilinear(p, x, matmul=mm, sweep=sweep_mode))
         err = np.abs(y - y64).max() / den
