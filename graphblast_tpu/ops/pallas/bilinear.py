@@ -559,11 +559,13 @@ class BitmapPlan:
 
 
 def build_plan_bitmap(ptr, ind, n_out: int, n_in: int,
-                      wp_bits: Optional[int] = None) -> BitmapPlan:
+                      wp_bits: Optional[int] = None,
+                      dma_cblk: Optional[bool] = None) -> BitmapPlan:
     """Host tiling pass for the bitmap kernel (struconly: values ignored).
 
     wp_bits overrides the output-panel width (testing hook; default picks
-    13 for huge row counts, else 12)."""
+    13 for huge row counts, else 12). dma_cblk forces the offset-feed mode
+    (stacked per-shard plans need one mode across shards)."""
     ptr_np = np.asarray(ptr, dtype=np.int64)
     m = int(ptr_np[-1])
     if wp_bits is None:
@@ -655,7 +657,8 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int,
     # (1 MB total budget; blew up at scale 24 where nsb ≈ 260K). Big plans
     # switch to one 128-lane row per chunk, DMA'd from HBM in-kernel (HBM
     # slices must be lane-tiling-aligned, so .at[c] fetches a whole row).
-    dma_cblk = nsb > 120_000
+    if dma_cblk is None:
+        dma_cblk = nsb > 120_000
     if dma_cblk:
         c_blk = np.zeros((n_chunks, LANE), np.int32)
         c_blk[:, :CHUNKB_SUBS] = c_blk_flat.reshape(n_chunks, CHUNKB_SUBS)
@@ -673,6 +676,34 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int,
                       jnp.asarray(rp_c, jnp.int32).reshape(-1),
                       jnp.asarray(visited), dma_cblk=dma_cblk,
                       wp_bits=wp_bits)
+
+
+def pad_bitmap_plan(plan: BitmapPlan, m_pad_target: int) -> BitmapPlan:
+    """Grow a plan's edge stream to m_pad_target (a chunk multiple) so
+    same-shape plans can be STACKED across shards and fed through
+    shard_map as sharded pytree leaves. Pad chunks carry valid=0 edges,
+    window 0, sweep [0, 0], and — critically — the LAST real chunk's
+    row-panel id, so the `first`-chunk zeroing never re-fires on panel 0
+    and the pads contribute nothing."""
+    if plan.m_pad == m_pad_target:
+        return plan
+    chunk = SUBB * CHUNKB_SUBS
+    assert m_pad_target % chunk == 0 and m_pad_target > plan.m_pad
+    extra = m_pad_target - plan.m_pad
+    loc = jnp.concatenate([plan.loc, jnp.zeros((extra,), jnp.int32)])
+    n_extra_chunks = extra // chunk
+    rp = jnp.concatenate([plan.rp,
+                          jnp.full((n_extra_chunks,), plan.rp[-1],
+                                   plan.rp.dtype)])
+    if plan.dma_cblk:
+        c_blk = jnp.concatenate(
+            [plan.c_blk, jnp.zeros((n_extra_chunks, LANE), jnp.int32)])
+    else:
+        c_blk = jnp.concatenate(
+            [plan.c_blk, jnp.zeros((extra // SUBB,), jnp.int32)])
+    return BitmapPlan(plan.n_out, plan.n_in, plan.n_out_pad, plan.n_wrows,
+                      m_pad_target, loc, c_blk, rp, plan.visited,
+                      dma_cblk=plan.dma_cblk, wp_bits=plan.wp_bits)
 
 
 def _kernel_bitmap_dma(rp_ref, cblk_hbm, w_ref, loc_ref, y_ref, cb_smem,

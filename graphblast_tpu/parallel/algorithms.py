@@ -81,10 +81,15 @@ def _bfs_pull_loop(Ash: ShardedMatrix, source, max_niter: int,
     def body(st):
         it, v, f, _ = st
         v = jnp.where(f != 0, it.astype(v.dtype), v)
-        f2 = dops.dist_vxm_pull(
-            Ash.csc_ptr[0], Ash.csc_ind[0], Ash.csc_val[0], f,
-            LogicalOrAndSemiring, rows_per, mask_block=v, mask_scmp=True,
-            structure_only=struconly)
+        if struconly and Ash.pull_plan is not None:
+            # local or-pull on the Pallas bitmap kernel (per-shard plan)
+            f2 = dops.dist_or_pull_bitmap(Ash.pull_plan, f, mask_block=v,
+                                          mask_scmp=True)
+        else:
+            f2 = dops.dist_vxm_pull(
+                Ash.csc_ptr[0], Ash.csc_ind[0], Ash.csc_val[0], f,
+                LogicalOrAndSemiring, rows_per, mask_block=v, mask_scmp=True,
+                structure_only=struconly)
         succ = jax.lax.psum(jnp.sum(f2 != 0).astype(INDEX_DTYPE), "x")
         return it + 1, v, f2, succ
 
@@ -136,6 +141,9 @@ def _bfs_dualdir_loop(Ash: ShardedMatrix, source, max_niter: int,
                 mask_block=v, mask_scmp=True, structure_only=struconly)
 
         def pull(_):
+            if struconly and Ash.pull_plan is not None:
+                return dops.dist_or_pull_bitmap(Ash.pull_plan, f,
+                                                mask_block=v, mask_scmp=True)
             return dops.dist_vxm_pull(
                 Ash.csc_ptr[0], Ash.csc_ind[0], Ash.csc_val[0], f,
                 LogicalOrAndSemiring, rows_per, mask_block=v, mask_scmp=True,
@@ -194,10 +202,14 @@ def _bfs_step_push(Ash: ShardedMatrix, v, f, it, edge_cap: int,
 def _bfs_step_pull(Ash: ShardedMatrix, v, f, it, struconly: bool):
     rows_per = Ash.rows_per
     v = jnp.where(f != 0, it.astype(v.dtype), v)
-    f2 = dops.dist_vxm_pull(
-        Ash.csc_ptr[0], Ash.csc_ind[0], Ash.csc_val[0], f,
-        LogicalOrAndSemiring, rows_per, mask_block=v, mask_scmp=True,
-        structure_only=struconly)
+    if struconly and Ash.pull_plan is not None:
+        f2 = dops.dist_or_pull_bitmap(Ash.pull_plan, f, mask_block=v,
+                                      mask_scmp=True)
+    else:
+        f2 = dops.dist_vxm_pull(
+            Ash.csc_ptr[0], Ash.csc_ind[0], Ash.csc_val[0], f,
+            LogicalOrAndSemiring, rows_per, mask_block=v, mask_scmp=True,
+            structure_only=struconly)
     succ = jax.lax.psum(jnp.sum(f2 != 0).astype(INDEX_DTYPE), "x")
     return v, f2, succ
 

@@ -51,6 +51,26 @@ def dist_mxv_pull(csr_ptr, csr_ind, csr_val, x_block, semiring: Semiring,
                      mask_block, mask_scmp, structure_only)
 
 
+def dist_or_pull_bitmap(pull_plan, x_block, mask_block=None,
+                        mask_scmp=False, axis: str = AXIS):
+    """Struconly or-pull over this device's column block via the Pallas
+    bitmap kernel (~10-25× the XLA or-pull locally, r2 single-chip
+    measurements): all_gather the frontier block, pack to a bitmap, count
+    frontier in-neighbors per local row on the MXU, threshold. pull_plan
+    is the device's slice of ShardedMatrix.pull_plan (StackedBitmapPlan —
+    call inside shard_map)."""
+    from ..ops.pallas.bilinear import spmv_bilinear_bitmap
+    from ..ops.pallas.orpull import pack_bitmap
+
+    x_full = jax.lax.all_gather(x_block, axis, tiled=True)
+    cnt = spmv_bilinear_bitmap(pull_plan.local(), pack_bitmap(x_full))
+    y = (cnt > 0).astype(x_block.dtype)
+    if mask_block is not None:
+        y = jnp.where(mask_pass(mask_block, mask_scmp), y,
+                      jnp.zeros((), y.dtype))
+    return y
+
+
 def _combine_partials(partial, semiring: Semiring, P: int, rows_per: int,
                       axis: str):
     """Route a full-length (n_pad,) ⊕-partial to block owners and combine.

@@ -32,6 +32,51 @@ from ..io import mmio
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
+class StackedBitmapPlan:
+    """P per-shard BitmapPlans with equalized shapes, stacked as 2-D
+    (P, flat) leaves so a pytree-prefix P('x', None) spec shards them —
+    each device's local struconly pull then rides the Pallas bitmap
+    kernel instead of the XLA or-pull (~10-25× faster locally, measured
+    single-chip r2). Rebuild the device-local plan inside shard_map with
+    .local()."""
+
+    loc: jnp.ndarray        # (P, m_pad)
+    c_blk: jnp.ndarray      # (P, nsb) flat, or (P, n_chunks·128) when dma
+    rp: jnp.ndarray         # (P, n_chunks)
+    visited: jnp.ndarray    # (P, n_out_pad // 128)
+    n_out: int
+    n_in: int
+    n_out_pad: int
+    n_wrows: int
+    m_pad: int
+    dma_cblk: bool
+    wp_bits: int
+
+    def tree_flatten(self):
+        return ((self.loc, self.c_blk, self.rp, self.visited),
+                (self.n_out, self.n_in, self.n_out_pad, self.n_wrows,
+                 self.m_pad, self.dma_cblk, self.wp_bits))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    def local(self):
+        """This device's BitmapPlan (call INSIDE shard_map: leaves arrive
+        with leading dim 1)."""
+        from ..ops.pallas.bilinear import BitmapPlan
+
+        cb = self.c_blk[0]
+        if self.dma_cblk:
+            cb = cb.reshape(-1, 128)
+        return BitmapPlan(self.n_out, self.n_in, self.n_out_pad,
+                          self.n_wrows, self.m_pad, self.loc[0], cb,
+                          self.rp[0], self.visited[0],
+                          dma_cblk=self.dma_cblk, wp_bits=self.wp_bits)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
 class ShardedMatrix:
     """1D-partitioned sparse matrix (square graphs).
 
@@ -42,6 +87,7 @@ class ShardedMatrix:
       csc_ptr (P, rows_per+1) local column pointers
       csc_ind (P, csc_cap)    GLOBAL row ids           (pad: n_pad sentinel)
       csc_val (P, csc_cap)
+      pull_plan               optional StackedBitmapPlan (vxm or-pull)
     Static: n (true), n_pad (= P · rows_per), P, rows_per, nvals.
     """
 
@@ -56,10 +102,11 @@ class ShardedMatrix:
     csc_ptr: jnp.ndarray
     csc_ind: jnp.ndarray
     csc_val: jnp.ndarray
+    pull_plan: Optional[StackedBitmapPlan] = None
 
     def tree_flatten(self):
         return ((self.csr_ptr, self.csr_ind, self.csr_val,
-                 self.csc_ptr, self.csc_ind, self.csc_val),
+                 self.csc_ptr, self.csc_ind, self.csc_val, self.pull_plan),
                 (self.n, self.n_pad, self.P, self.rows_per, self.nvals))
 
     @classmethod
@@ -77,6 +124,38 @@ def _block_csr(rows, cols, vals, lo, hi, n_blocks_pad, dtype):
     r, c, v = rows[sel] - lo, cols[sel], vals[sel]
     ptr, ci, vv = mmio.coo_to_csr(r, c, v, hi - lo)
     return ptr, ci, vv
+
+
+def _stack_pull_plans(csc_blocks, rows_per: int, n_pad: int, mesh, axis):
+    """Per-shard bitmap pull plans, shape-equalized and stacked (P, flat)."""
+    import os
+
+    from ..ops.pallas.bilinear import build_plan_bitmap, pad_bitmap_plan
+
+    if os.environ.get("GRB_DIST_PALLAS", "1") != "1":
+        return None
+    plans = [build_plan_bitmap(b[0], b[1], rows_per, n_pad, dma_cblk=False)
+             for b in csc_blocks]
+    m_pad = max(p.m_pad for p in plans)
+    if m_pad // 2048 > 120_000:      # unified nsb over the SMEM budget:
+        plans = [build_plan_bitmap(b[0], b[1], rows_per, n_pad,
+                                   dma_cblk=True) for b in csc_blocks]
+    plans = [pad_bitmap_plan(p, m_pad) for p in plans]
+    p0 = plans[0]
+    sh2 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(axis, None))
+
+    def put(name):
+        arrs = [np.asarray(getattr(p, name)) for p in plans]
+        if p0.dma_cblk and name == "c_blk":
+            arrs = [a.reshape(-1) for a in arrs]
+        return jax.device_put(jnp.asarray(np.stack(arrs)), sh2)
+
+    return StackedBitmapPlan(
+        loc=put("loc"), c_blk=put("c_blk"), rp=put("rp"),
+        visited=put("visited"), n_out=p0.n_out, n_in=p0.n_in,
+        n_out_pad=p0.n_out_pad, n_wrows=p0.n_wrows, m_pad=m_pad,
+        dma_cblk=p0.dma_cblk, wp_bits=p0.wp_bits)
 
 
 def partition(A: Matrix, mesh: jax.sharding.Mesh, axis: str = "x",
@@ -123,7 +202,8 @@ def partition(A: Matrix, mesh: jax.sharding.Mesh, axis: str = "x",
     return ShardedMatrix(
         n=n, n_pad=n_pad, P=P, rows_per=rows_per, nvals=A.nvals,
         csr_ptr=put(csr_ptr), csr_ind=put(csr_ind), csr_val=put(csr_val),
-        csc_ptr=put(csc_ptr), csc_ind=put(csc_ind), csc_val=put(csc_val))
+        csc_ptr=put(csc_ptr), csc_ind=put(csc_ind), csc_val=put(csc_val),
+        pull_plan=_stack_pull_plans(csc_blocks, rows_per, n_pad, mesh, axis))
 
 
 def shard_vector(mesh: jax.sharding.Mesh, x: np.ndarray, n_pad: int,
@@ -193,12 +273,20 @@ def partition_cached(A: Matrix, mesh: jax.sharding.Mesh, cache_base: str,
             def put(k):
                 return jax.device_put(jnp.asarray(z[k]), sh2)
 
+            # rebuild the per-shard pull plans from the cached host blocks
+            # (plans are derived data — not serialized)
+            rows_per = int(z["rows_per"])
+            n_pad = int(z["n_pad"])
+            csc_blocks = [(z["csc_ptr"][k], z["csc_ind"][k])
+                          for k in range(P)]
             return ShardedMatrix(
-                n=int(z["n"]), n_pad=int(z["n_pad"]), P=P,
-                rows_per=int(z["rows_per"]), nvals=int(z["nvals"]),
+                n=int(z["n"]), n_pad=n_pad, P=P,
+                rows_per=rows_per, nvals=int(z["nvals"]),
                 csr_ptr=put("csr_ptr"), csr_ind=put("csr_ind"),
                 csr_val=put("csr_val"), csc_ptr=put("csc_ptr"),
-                csc_ind=put("csc_ind"), csc_val=put("csc_val"))
+                csc_ind=put("csc_ind"), csc_val=put("csc_val"),
+                pull_plan=_stack_pull_plans(csc_blocks, rows_per, n_pad,
+                                            mesh, axis))
 
     Ash = partition(A, mesh, axis=axis)
     try:

@@ -503,3 +503,20 @@ def test_sparse_push_volume_scales_with_frontier(chesapeake, mesh):
         # off-shard exchange volume = pairs routed to other devices
         vols.append(int(want.sum() - np.trace(want)))
     assert vols[0] < vols[1] < vols[2], vols
+
+
+def test_pull_plan_built_and_routed(chesapeake, mesh, monkeypatch):
+    """partition() builds the stacked per-shard bitmap plans, the dist BFS
+    pull routes through them, and disabling the path (GRB_DIST_PALLAS=0)
+    still produces identical levels (the XLA or-pull fallback)."""
+    A = chesapeake
+    Ash = partition(A, mesh)
+    assert Ash.pull_plan is not None
+    assert Ash.pull_plan.loc.shape[0] == Ash.P
+    want = bfs_dist(A, 0, mesh, Ash=Ash)
+
+    monkeypatch.setenv("GRB_DIST_PALLAS", "0")
+    Ash0 = partition(A, mesh)
+    assert Ash0.pull_plan is None
+    got = bfs_dist(A, 0, mesh, Ash=Ash0)
+    np.testing.assert_array_equal(got, want)
