@@ -60,6 +60,10 @@ Key design consequences visible in the numbers:
    buffer should be tuned down to the expected frontier, not worst case.
 3. **Ring PR / ring TC overlap their ppermute stages with local compute**,
    so their no-overlap efficiencies below are lower bounds.
+4. **The compute_bytes/HBM model assumes HBM-bound local kernels** — valid
+   since r3: each device's struconly pull runs the per-shard Pallas bitmap
+   plan (partition.StackedBitmapPlan), the same kernel the single chip
+   measures near HBM speed, not the slower XLA or-pull.
 """
 
 
