@@ -1097,6 +1097,29 @@ def build_plan_f32dma(ptr, ind, val, n_out: int, n_in: int,
                       wr_bits=wr_bits, wc_bits=wc_bits)
 
 
+def pad_f32dma_plan(plan: F32DmaPlan, m_pad_target: int) -> F32DmaPlan:
+    """Grow a windowed-DMA plan's edge stream to m_pad_target so per-shard
+    plans stack (pad_bitmap_plan's contract): pad chunks carry val 0
+    (inert products), window 0 with sweep [0, 0], and the LAST real
+    chunk's panel id so the first-chunk zeroing never re-fires."""
+    if plan.m_pad == m_pad_target:
+        return plan
+    chunk = SUB * CHUNK_SUBS
+    assert m_pad_target % chunk == 0 and m_pad_target > plan.m_pad
+    extra = m_pad_target - plan.m_pad
+    n_extra = extra // chunk
+    loc = jnp.concatenate([plan.loc, jnp.zeros((extra,), jnp.int32)])
+    val = jnp.concatenate([plan.val, jnp.zeros((extra,), jnp.float32)])
+    meta = jnp.concatenate([plan.meta,
+                            jnp.zeros((n_extra, LANE), jnp.int32)])
+    rp = jnp.concatenate([plan.rp, jnp.full((n_extra,), plan.rp[-1],
+                                            plan.rp.dtype)])
+    return F32DmaPlan(plan.n_out, plan.n_in, plan.n_out_pad, plan.n_xrows,
+                      m_pad_target, loc, val, meta, rp, plan.visited,
+                      unit_vals=plan.unit_vals, wr_bits=plan.wr_bits,
+                      wc_bits=plan.wc_bits)
+
+
 def _kernel_f32_dma(rp_ref, meta_hbm, x_hbm, loc_ref, val_ref, y_ref,
                     meta_smem, prev_smem, xw, sem_m, sem_x, *,
                     wr_bits: int, wc_bits: int, matmul: str = "highest"):

@@ -285,11 +285,25 @@ def _pr_loop(Ash: ShardedMatrix, alpha: float, eps: float, max_niter: int,
         it, p, err = st
         return (err > eps) & (it <= max_niter)
 
+    import os
+
+    # the DMA kernel route engages on real TPUs only: PR runs 50-100 pull
+    # iterations and interpret-mode emulation of the kernel on the CPU test
+    # backend costs seconds PER ITERATION (the short BFS loops tolerate it;
+    # PR does not). GRB_DIST_PALLAS_FORCE=1 overrides for a bounded test.
+    use_dma = (Ash.value_pull_plan is not None
+               and (jax.default_backend() == "tpu"
+                    or os.environ.get("GRB_DIST_PALLAS_FORCE") == "1"))
+
     def body(st):
         it, p, _ = st
-        p_swap = dops.dist_vxm_pull(
-            Ash.csc_ptr[0], Ash.csc_ind[0], Ash.csc_val[0], p,
-            PlusMultipliesSemiring, rows_per)
+        if use_dma:
+            # local Plus·× pull on the windowed-DMA bilinear kernel
+            p_swap = dops.dist_value_pull_dma(Ash.value_pull_plan, p)
+        else:
+            p_swap = dops.dist_vxm_pull(
+                Ash.csc_ptr[0], Ash.csc_ind[0], Ash.csc_val[0], p,
+                PlusMultipliesSemiring, rows_per)
         p_new = jnp.where(real, p_swap + (1.0 - alpha) / n_true, 0.0)
         r = p_new - p
         err = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), "x"))
@@ -346,7 +360,7 @@ def pr_dist(A: Matrix, mesh: jax.sharding.Mesh, alpha: float = 0.85,
             from ..algorithms.pr import prepare_pr_matrix
 
             A = prepare_pr_matrix(A, alpha)
-        Ash = partition(A, mesh)
+        Ash = partition(A, mesh, build_value_plan=True)
     run = _cached_fn(Ash, ("pr", alpha, eps, desc.max_niter),
                      lambda: make_pr_dist(mesh, Ash, alpha, eps, desc))
     p = run()

@@ -77,6 +77,45 @@ class StackedBitmapPlan:
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
+class StackedF32DmaPlan:
+    """P per-shard windowed-DMA value plans (Plus·× pulls — PR's local
+    op), stacked like StackedBitmapPlan. The DMA variant needs no VMEM
+    residency decision, so one plan kind serves every shard size."""
+
+    loc: jnp.ndarray        # (P, m_pad)
+    val: jnp.ndarray        # (P, m_pad)
+    meta: jnp.ndarray       # (P, n_chunks·128) flat
+    rp: jnp.ndarray         # (P, n_chunks)
+    visited: jnp.ndarray    # (P, n_out_pad // 128)
+    n_out: int
+    n_in: int
+    n_out_pad: int
+    n_xrows: int
+    m_pad: int
+    wr_bits: int
+    wc_bits: int
+
+    def tree_flatten(self):
+        return ((self.loc, self.val, self.meta, self.rp, self.visited),
+                (self.n_out, self.n_in, self.n_out_pad, self.n_xrows,
+                 self.m_pad, self.wr_bits, self.wc_bits))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    def local(self):
+        from ..ops.pallas.bilinear import F32DmaPlan
+
+        return F32DmaPlan(self.n_out, self.n_in, self.n_out_pad,
+                          self.n_xrows, self.m_pad, self.loc[0],
+                          self.val[0], self.meta[0].reshape(-1, 128),
+                          self.rp[0], self.visited[0],
+                          wr_bits=self.wr_bits, wc_bits=self.wc_bits)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
 class ShardedMatrix:
     """1D-partitioned sparse matrix (square graphs).
 
@@ -103,10 +142,12 @@ class ShardedMatrix:
     csc_ind: jnp.ndarray
     csc_val: jnp.ndarray
     pull_plan: Optional[StackedBitmapPlan] = None
+    value_pull_plan: Optional[StackedF32DmaPlan] = None
 
     def tree_flatten(self):
         return ((self.csr_ptr, self.csr_ind, self.csr_val,
-                 self.csc_ptr, self.csc_ind, self.csc_val, self.pull_plan),
+                 self.csc_ptr, self.csc_ind, self.csc_val, self.pull_plan,
+                 self.value_pull_plan),
                 (self.n, self.n_pad, self.P, self.rows_per, self.nvals))
 
     @classmethod
@@ -158,11 +199,45 @@ def _stack_pull_plans(csc_blocks, rows_per: int, n_pad: int, mesh, axis):
         dma_cblk=p0.dma_cblk, wp_bits=p0.wp_bits)
 
 
+def _stack_value_plans(csc_blocks, rows_per: int, n_pad: int, mesh, axis):
+    """Per-shard windowed-DMA value plans (PR's Plus·× local pull)."""
+    import os
+
+    from ..ops.pallas.bilinear import build_plan_f32dma, pad_f32dma_plan
+
+    if os.environ.get("GRB_DIST_PALLAS", "1") != "1":
+        return None
+    plans = [build_plan_f32dma(b[0], b[1], b[2], rows_per, n_pad)
+             for b in csc_blocks]
+    m_pad = max(p.m_pad for p in plans)
+    plans = [pad_f32dma_plan(p, m_pad) for p in plans]
+    p0 = plans[0]
+    sh2 = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(axis, None))
+
+    def put(name):
+        arrs = [np.asarray(getattr(p, name)) for p in plans]
+        if name == "meta":
+            arrs = [a.reshape(-1) for a in arrs]
+        return jax.device_put(jnp.asarray(np.stack(arrs)), sh2)
+
+    return StackedF32DmaPlan(
+        loc=put("loc"), val=put("val"), meta=put("meta"), rp=put("rp"),
+        visited=put("visited"), n_out=p0.n_out, n_in=p0.n_in,
+        n_out_pad=p0.n_out_pad, n_xrows=p0.n_xrows, m_pad=m_pad,
+        wr_bits=p0.wr_bits, wc_bits=p0.wc_bits)
+
+
 def partition(A: Matrix, mesh: jax.sharding.Mesh, axis: str = "x",
-              pad_edges_to: int = 1024) -> ShardedMatrix:
+              pad_edges_to: int = 1024,
+              build_value_plan: bool = False) -> ShardedMatrix:
     """Host-side 1D partition of A onto `mesh` (reference: none — this is the
     TPU framework's replacement for the reference's memusage-bounded
-    single-GPU scaling, SURVEY.md §5 long-context note)."""
+    single-GPU scaling, SURVEY.md §5 long-context note).
+
+    build_value_plan additionally stacks per-shard windowed-DMA value
+    plans (pr_dist's allgather layout asks for it; BFS-class users skip
+    the extra host pass)."""
     P = mesh.shape[axis]
     n = A.nrows
     assert A.nrows == A.ncols, "1D partition assumes square adjacency"
@@ -203,7 +278,10 @@ def partition(A: Matrix, mesh: jax.sharding.Mesh, axis: str = "x",
         n=n, n_pad=n_pad, P=P, rows_per=rows_per, nvals=A.nvals,
         csr_ptr=put(csr_ptr), csr_ind=put(csr_ind), csr_val=put(csr_val),
         csc_ptr=put(csc_ptr), csc_ind=put(csc_ind), csc_val=put(csc_val),
-        pull_plan=_stack_pull_plans(csc_blocks, rows_per, n_pad, mesh, axis))
+        pull_plan=_stack_pull_plans(csc_blocks, rows_per, n_pad, mesh, axis),
+        value_pull_plan=(_stack_value_plans(csc_blocks, rows_per, n_pad,
+                                            mesh, axis)
+                         if build_value_plan else None))
 
 
 def shard_vector(mesh: jax.sharding.Mesh, x: np.ndarray, n_pad: int,

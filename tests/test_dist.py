@@ -520,3 +520,24 @@ def test_pull_plan_built_and_routed(chesapeake, mesh, monkeypatch):
     assert Ash0.pull_plan is None
     got = bfs_dist(A, 0, mesh, Ash=Ash0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pr_dist_value_plan_route(test_pr, mesh, monkeypatch):
+    """PR's windowed-DMA local pull (TPU-only by default — interpret-mode
+    emulation costs seconds per iteration) matches the XLA route when
+    forced, over a bounded iteration count."""
+    from graphblast_tpu.algorithms.pr import prepare_pr_matrix
+    from graphblast_tpu.descriptor import Descriptor
+
+    Ap = prepare_pr_matrix(test_pr, 0.85)
+    desc = Descriptor(max_niter=4)
+
+    monkeypatch.setenv("GRB_DIST_PALLAS_FORCE", "1")
+    Ashv = partition(Ap, mesh, build_value_plan=True)
+    assert Ashv.value_pull_plan is not None
+    got = pr_dist(test_pr, mesh, desc=desc, Ash=Ashv, prepared=True)
+
+    monkeypatch.delenv("GRB_DIST_PALLAS_FORCE")
+    Ash0 = partition(Ap, mesh)
+    want = pr_dist(test_pr, mesh, desc=desc, Ash=Ash0, prepared=True)
+    np.testing.assert_allclose(got, want, atol=1e-6)
