@@ -356,40 +356,67 @@ def _selfcheck(args, log, dev):
     np.add.at(y_gold, np.repeat(np.arange(n), np.diff(ptr[: n + 1])),
               val[:m].astype(np.float64) * x[ind[:m]])
 
-    # 1. f32 bilinear SpMV kernel
+    # 1. f32 bilinear SpMV kernel — SOFT check: a failure here (e.g. the
+    # r3 fori sweep failing to lower in Mosaic) must not kill the whole
+    # selfcheck; the secondary-metric stages degrade on their own, and the
+    # recorded FAIL string tells the story. The headline BFS path (bitmap
+    # kernel + fused loops, checks 2-4) stays HARD-asserted.
     plan = plan_for(A, transpose=False)
     if plan is not None:
-        y = np.asarray(jax.jit(spmv_bilinear, static_argnums=())(
-            plan, jnp.asarray(x)))
-        err = float(np.max(np.abs(y - y_gold) / (np.abs(y_gold) + 1.0)))
-        checks["bilinear_err"] = round(err, 9)
-        assert err < 1e-4, f"bilinear SpMV err {err}"
+        try:
+            y = np.asarray(jax.jit(spmv_bilinear, static_argnums=())(
+                plan, jnp.asarray(x)))
+            err = float(np.max(np.abs(y - y_gold) / (np.abs(y_gold) + 1.0)))
+            checks["bilinear_err"] = round(err, 9)
+            assert err < 1e-4, f"err {err}"
+        except Exception as ex:
+            checks["bilinear_err"] = f"FAIL: {type(ex).__name__}: {ex}"[:200]
 
     # 1b. windowed-DMA f32 kernel, forced at small scale — the dispatcher
     # only builds it above the VMEM residency limit, but its Mosaic
     # lowering (dynamic-offset HBM→VMEM window DMA) must be proven on the
-    # chip before any scale-22+ value pull relies on it
+    # chip before any scale-22+ value pull relies on it. Soft for the same
+    # reason as 1.
     from graphblast_tpu.ops.pallas.bilinear import (build_plan_f32dma,
                                                     spmv_bilinear_dma)
 
-    dplan = build_plan_f32dma(ptr, ind, val, n, n)
-    yd = np.asarray(jax.jit(spmv_bilinear_dma)(dplan, jnp.asarray(x)))
-    errd = float(np.max(np.abs(yd - y_gold) / (np.abs(y_gold) + 1.0)))
-    checks["bilinear_dma_err"] = round(errd, 9)
-    assert errd < 1e-4, f"windowed-DMA SpMV err {errd}"
+    try:
+        dplan = build_plan_f32dma(ptr, ind, val, n, n)
+        yd = np.asarray(jax.jit(spmv_bilinear_dma)(dplan, jnp.asarray(x)))
+        errd = float(np.max(np.abs(yd - y_gold) / (np.abs(y_gold) + 1.0)))
+        checks["bilinear_dma_err"] = round(errd, 9)
+        assert errd < 1e-4, f"err {errd}"
+    except Exception as ex:
+        checks["bilinear_dma_err"] = f"FAIL: {type(ex).__name__}: {ex}"[:200]
 
-    # 2. bitmap or-pull kernel: frontier neighbor counts
+    # 2. bitmap or-pull kernel (the headline BFS pull): frontier neighbor
+    # counts. The r3 pruned-fori sweep was never hardware-lowered; if it
+    # fails here, fall back to the r2-proven unrolled sweep, PIN it for
+    # every later stage via sweep_pick, and keep going — only a failure of
+    # BOTH variants hard-fails the selfcheck.
+    sweep_forced = None
     bplan = plan_for_bitmap(A, transpose=False)
     if bplan is not None:
         f = (rng.random(n) < 0.05).astype(np.float32)
-        cnt = np.asarray(jax.jit(spmv_bilinear_bitmap)(
-            bplan, pack_bitmap(jnp.asarray(f))))
         cnt_gold = np.zeros(n, np.int64)
         np.add.at(cnt_gold, np.repeat(np.arange(n), np.diff(ptr[: n + 1])),
                   f[ind[:m]].astype(np.int64))
-        bad = int((np.asarray(cnt)[:n] != cnt_gold).sum())
-        checks["bitmap_mismatch"] = bad
-        assert bad == 0, f"bitmap kernel: {bad} mismatched counts"
+        wbits = pack_bitmap(jnp.asarray(f))
+        try:
+            cnt = np.asarray(spmv_bilinear_bitmap(bplan, wbits))
+            bad = int((cnt[:n] != cnt_gold).sum())
+            assert bad == 0, f"{bad} mismatched counts"
+            checks["bitmap_mismatch"] = bad
+        except Exception as ex:
+            checks["bitmap_default_sweep"] = (
+                f"FAIL: {type(ex).__name__}: {ex}"[:200])
+            cnt = np.asarray(spmv_bilinear_bitmap(bplan, wbits,
+                                                  sweep="unroll"))
+            bad = int((cnt[:n] != cnt_gold).sum())
+            assert bad == 0, f"bitmap kernel (unroll): {bad} mismatches"
+            checks["bitmap_mismatch"] = bad
+            sweep_forced = "unroll"
+            os.environ["GRB_BILINEAR_SWEEP"] = "unroll"  # this process
 
     # 3. fused BFS (bitmap pull + tiered push) vs CPU golden
     deg = np.diff(ptr[: n + 1])
@@ -426,7 +453,9 @@ def _selfcheck(args, log, dev):
     # relay was down); a cheap timed comparison here protects the headline
     # from an unmeasured-default regression. Only when the user didn't pin.
     pick = {}
-    if bplan is not None and "GRB_BILINEAR_SWEEP" not in os.environ:
+    if sweep_forced is not None:
+        pick["sweep_pick"] = sweep_forced
+    elif bplan is not None and "GRB_BILINEAR_SWEEP" not in os.environ:
         f32b = (rng.random(n) < 0.3).astype(np.float32)
         wb = pack_bitmap(jnp.asarray(f32b))
         times = {}
@@ -596,6 +625,11 @@ def main():
             merged["stages_skipped"].append(f"{stage}:{type(ex).__name__}")
             print(f"[{stage}] stage failed: {type(ex).__name__}: {ex}",
                   file=sys.stderr, flush=True)
+        if stage == "selfcheck" and "selfcheck" not in merged:
+            # the whole selfcheck died (crash/timeout): pin the r2-proven
+            # unrolled sweep for every timed stage rather than trusting the
+            # unmeasured fori default
+            merged.setdefault("sweep_pick", "unroll")
         _emit(merged, args)
     _emit(merged, args, final=True)
 
