@@ -66,10 +66,10 @@ def _lower_bound(sorted_ref: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
     return lo
 
 
-@partial(jax.jit, static_argnames=("semiring", "acap"))
+@partial(jax.jit, static_argnames=("semiring", "acap", "swap_mul"))
 def _masked_join_chunk(mi_all, mj_all, s, m_count, a_ptr, a_ind, a_val,
                        b_j, b_k, b_v, expand_e, acap: int,
-                       semiring: Semiring):
+                       semiring: Semiring, swap_mul: bool = False):
     """One mask-edge chunk of the masked SpGEMM as a SORT-JOIN MEMBERSHIP
     test — no binary search at all (the r2 sorted-query lower_bound unrolled
     31 Pallas gather kernels and cost ~15 min of remote compile,
@@ -139,7 +139,12 @@ def _masked_join_chunk(mi_all, mj_all, s, m_count, a_ptr, a_ind, a_val,
              & (take(j_s, carry_safe, sorted=True) == j_s)
              & (take(k_s, carry_safe, sorted=True) == k_s))
     bv = take(vb_s, carry_safe, sorted=True)
-    prod = jnp.where(found, semiring.mul(va_s, bv), ident)
+    # swap_mul: the roles are reversed (expansion carries B values, the
+    # membership table carries A values) — keep the semiring's ⊗ operand
+    # order A ⊗ B either way (min-side expansion, see spgemm_masked)
+    prod = jnp.where(found,
+                     semiring.mul(bv, va_s) if swap_mul
+                     else semiring.mul(va_s, bv), ident)
 
     # back to expansion order: queries carry unique pe ∈ [0, expand_cap)
     _, prod_by_lane = jax.lax.sort((pe_s, prod), num_keys=1, is_stable=False)
@@ -173,7 +178,20 @@ def spgemm_masked(A: Matrix, B: Matrix, M: Matrix, semiring: Semiring,
     mxm(…, Aᵀ) idiom, tc.hpp:24). `max_lanes` bounds the per-chunk static
     (mask-edge × A-entry) expansion workspace; the mask is chunked on the
     host so any scale runs in O(max_lanes) memory (the memusage idiom,
-    spmspv_inner.hpp:51-59)."""
+    spmspv_inner.hpp:51-59).
+
+    Min-side expansion (on unless GRB_SPGEMM_MINSIDE=0): C[i,j] is a
+    k-intersection of A's row i and B's column j (row j when transpose_b),
+    so per mask edge we enumerate whichever side is SHORTER and membership-
+    test against the other — work drops from Σ deg_A(i) to
+    Σ min(deg_A(i), deg_B(j)) (7× fewer expanded lanes on rmat18's tril,
+    943M → 134M). The reference's warp kernel has the same freedom but
+    always enumerates A (kernels/spgemm.hpp:17-79). The chunk kernel is
+    role-symmetric: side-B chunks swap the expand/query operands and set
+    swap_mul so ⊗ keeps A-then-B operand order."""
+    import os
+
+    max_lanes = int(os.environ.get("GRB_SPGEMM_LANES", max_lanes))
     n = A.nrows
     if transpose_b:
         b_j, b_k, b_v = B.row_ind, B.col_ind, B.val
@@ -198,8 +216,43 @@ def spgemm_masked(A: Matrix, B: Matrix, M: Matrix, semiring: Semiring,
     host_a = getattr(A, "_host_csr", None)
     a_ptr_np = (np.asarray(host_a[0]) if host_a is not None
                 else np.asarray(A.row_ptr))[: n + 1]
-    deg_np = (a_ptr_np[np.minimum(mi_np, n - 1) + 1]
-              - a_ptr_np[np.minimum(mi_np, n - 1)]).astype(np.int64)
+    mi_cl = np.minimum(mi_np, n - 1)
+    deg_a_np = (a_ptr_np[mi_cl + 1] - a_ptr_np[mi_cl]).astype(np.int64)
+
+    # min-side: per-edge degree of the B-side adjacency (B row j when
+    # transpose_b, B column j otherwise), from host stashes when available
+    bexp = None
+    if (os.environ.get("GRB_SPGEMM_MINSIDE", "1") != "0"
+            and A.row_ind is not None):
+        if transpose_b:
+            bexp_ptr, bexp_ind, bexp_val = B.row_ptr, B.col_ind, B.val
+            host_b = getattr(B, "_host_csr", None)
+            bexp_n = B.nrows
+        else:
+            bexp_ptr, bexp_ind, bexp_val = B.col_ptr, B.csc_row_ind, B.csc_val
+            host_b = getattr(B, "_host_csc", None)
+            bexp_n = B.ncols
+        if bexp_ptr is not None:
+            bexp_ptr_np = (np.asarray(host_b[0]) if host_b is not None
+                           else np.asarray(bexp_ptr))[: bexp_n + 1]
+            mj_cl = np.minimum(mj_np, bexp_n - 1)
+            deg_b_np = (bexp_ptr_np[mj_cl + 1]
+                        - bexp_ptr_np[mj_cl]).astype(np.int64)
+            bexp = (bexp_ptr, bexp_ind, bexp_val)
+    if bexp is not None:
+        side_b = deg_b_np < deg_a_np
+        n_b = int(side_b.sum())
+    else:
+        n_b = 0
+
+    if n_b:
+        perm = np.argsort(side_b, kind="stable")   # A-side edges first
+        mi_p, mj_p = mi_np[perm], mj_np[perm]
+        deg_np = np.where(side_b, deg_b_np, deg_a_np)[perm]
+        n_a = nvals - n_b
+    else:
+        perm = None
+        deg_np, n_a = deg_a_np, nvals
     total = int(deg_np.sum())
     if total == 0 or nvals == 0:
         c_val = jnp.zeros((M.nnz_pad,), out_dtype)
@@ -208,48 +261,80 @@ def spgemm_masked(A: Matrix, B: Matrix, M: Matrix, semiring: Semiring,
                       val=c_val, col_ptr=None, csc_row_ind=None,
                       csc_col_ind=None, csc_val=None, format=M.format,
                       symmetric=False)
-    max_lanes = max(max_lanes, int(deg_np.max()))
+    max_lanes = max(max_lanes, int(deg_np.max()) if nvals else 1)
 
     # greedy chunking by exact expansion size, O(n_chunks·log nvals) via
     # prefix-sum searchsorted (the per-entry Python loop cost minutes of
-    # host time at scale-18+ mask sizes)
+    # host time at scale-18+ mask sizes); a chunk never straddles the
+    # side-A/side-B boundary
     csum = np.concatenate([[0], np.cumsum(deg_np)])
-    bounds = [0]
-    while bounds[-1] < nvals:
-        s = bounds[-1]
-        tt = int(np.searchsorted(csum, csum[s] + max_lanes,
-                                 side="right")) - 1
-        bounds.append(min(max(tt, s + 1), nvals))
-    n_chunks = len(bounds) - 1
-    acap = max(round_up(max(bounds[c + 1] - bounds[c]
-                            for c in range(n_chunks)), 1024), 1024)
+
+    def _chunks(lo, hi):
+        out = []
+        s = lo
+        while s < hi:
+            tt = int(np.searchsorted(csum, csum[s] + max_lanes,
+                                     side="right")) - 1
+            tt = min(max(tt, s + 1), hi)
+            out.append((s, tt))
+            s = tt
+        return out
+
+    chunks = ([(s, t, False) for s, t in _chunks(0, n_a)]
+              + [(s, t, True) for s, t in _chunks(n_a, nvals)])
+    acap = max(round_up(max(t - s for s, t, _ in chunks), 1024), 1024)
     expand_cap = max(round_up(max(
-        int(deg_np[bounds[c]:bounds[c + 1]].sum())
-        for c in range(n_chunks)), 1024), 1024)
+        int(deg_np[s:t].sum()) for s, t, _ in chunks), 1024), 1024)
     expand_e = jnp.arange(expand_cap, dtype=INDEX_DTYPE)
 
     # sentinel-pad the device mask arrays once so per-chunk slices never
-    # clamp; the mask's own row_ind is already expanded + padded
-    mi_all = jnp.concatenate([M.row_ind.astype(jnp.int32),
-                              jnp.full((acap,), n, jnp.int32)])
-    mj_all = jnp.concatenate([M.col_ind.astype(jnp.int32),
-                              jnp.full((acap,), BIG, jnp.int32)])
+    # clamp. Identity order reuses the mask's own device arrays (no H2D);
+    # min-side order ships the permuted copies once per call.
+    if perm is None:
+        mi_all = jnp.concatenate([M.row_ind.astype(jnp.int32),
+                                  jnp.full((acap,), n, jnp.int32)])
+        mj_all = jnp.concatenate([M.col_ind.astype(jnp.int32),
+                                  jnp.full((acap,), BIG, jnp.int32)])
+    else:
+        mi_all = jnp.asarray(np.concatenate(
+            [mi_p, np.full(acap, n, np.int64)]).astype(np.int32))
+        mj_all = jnp.asarray(np.concatenate(
+            [mj_p, np.full(acap, BIG, np.int64)]).astype(np.int32))
+    if n_b:
+        # side-B membership table: A's CSR entries keyed (row i, col k)
+        aslot_valid = jnp.arange(A.nnz_pad, dtype=INDEX_DTYPE) < A.nvals
+        a_i_tab = jnp.where(aslot_valid, A.row_ind.astype(jnp.int32), BIG)
+        a_k_tab = jnp.where(aslot_valid, A.col_ind.astype(jnp.int32), BIG)
 
     # on-device assembly: ascending dynamic_update_slice windows — chunk c's
     # zeroed tail is overwritten by chunk c+1; the buffer is oversized so the
     # last window never clamp-shifts
-    buf_len = max(M.nnz_pad, bounds[-2] + acap if n_chunks else acap)
+    buf_len = max(M.nnz_pad, max(s for s, _, _ in chunks) + acap)
     c_buf = jnp.zeros((buf_len,), out_dtype)
-    for c in range(n_chunks):
-        s, tt = bounds[c], bounds[c + 1]
-        cv = _masked_join_chunk(
-            mi_all, mj_all, jnp.asarray(s, INDEX_DTYPE),
-            jnp.asarray(tt - s, INDEX_DTYPE),
-            A.row_ptr, A.col_ind, A.val, b_j, b_k, b_v,
-            expand_e, acap, semiring)
+    for s, tt, is_b in chunks:
+        if is_b:
+            # expand B's side (keys mj), membership-test against A's entries
+            cv = _masked_join_chunk(
+                mj_all, mi_all, jnp.asarray(s, INDEX_DTYPE),
+                jnp.asarray(tt - s, INDEX_DTYPE),
+                bexp[0], bexp[1], bexp[2], a_i_tab, a_k_tab, A.val,
+                expand_e, acap, semiring, swap_mul=True)
+        else:
+            cv = _masked_join_chunk(
+                mi_all, mj_all, jnp.asarray(s, INDEX_DTYPE),
+                jnp.asarray(tt - s, INDEX_DTYPE),
+                A.row_ptr, A.col_ind, A.val, b_j, b_k, b_v,
+                expand_e, acap, semiring)
         c_buf = jax.lax.dynamic_update_slice(c_buf, cv,
                                              (jnp.asarray(s, INDEX_DTYPE),))
-    c_val = jax.lax.slice_in_dim(c_buf, 0, M.nnz_pad)
+    if perm is None:
+        c_val = jax.lax.slice_in_dim(c_buf, 0, M.nnz_pad)
+    else:
+        # chunk order is the side permutation — scatter back to mask order
+        # (unique indices: deterministic)
+        c_val = (jnp.zeros((M.nnz_pad,), out_dtype)
+                 .at[jnp.asarray(perm.astype(np.int32))]
+                 .set(jax.lax.slice_in_dim(c_buf, 0, nvals), mode="drop"))
     return Matrix(M.nrows, M.ncols, M.nvals,
                   row_ptr=M.row_ptr, col_ind=M.col_ind, row_ind=M.row_ind,
                   val=c_val,

@@ -458,3 +458,42 @@ def test_tc_sparse_path_matches_dense(chesapeake, monkeypatch):
     assert got == want
     from graphblast_tpu.operations import tril
     assert got == tc_cpu(tril(chesapeake))
+
+
+def test_masked_mxm_minside_noncommutative(chesapeake, monkeypatch):
+    """Min-side expansion must preserve ⊗ operand order: side-B chunks
+    enumerate B and membership-test A, so a swapped mul would silently
+    negate PlusMinus products. Golden = dense Σ_k (A[i,k] − B[k,j]) over
+    structural intersections, on mask slots; also minside on == off."""
+    from graphblast_tpu.ops.spgemm import spgemm_masked
+
+    A = chesapeake
+    rng = np.random.default_rng(7)
+    # value-perturbed copy so A[i,k] − B[k,j] is order-sensitive
+    Bv = gb.Matrix.from_coo(
+        np.asarray(A.row_ind[: A.nvals]), np.asarray(A.col_ind[: A.nvals]),
+        rng.uniform(1.0, 2.0, int(A.nvals)).astype(np.float32),
+        A.nrows, A.ncols)
+    Ad, Bd = A.to_dense(), Bv.to_dense()
+    inter = (Ad != 0)[:, :, None] * (Bd != 0)[None, :, :]
+    prods = (Ad[:, :, None] - Bd[None, :, :]) * inter
+    want = prods.sum(axis=1) * (Ad != 0)
+
+    for lanes in (64, 1 << 20):   # many chunks / one chunk
+        monkeypatch.setenv("GRB_SPGEMM_MINSIDE", "1")
+        C_on = spgemm_masked(A, Bv, A, gb.PlusMinusSemiring, max_lanes=lanes)
+        monkeypatch.setenv("GRB_SPGEMM_MINSIDE", "0")
+        C_off = spgemm_masked(A, Bv, A, gb.PlusMinusSemiring, max_lanes=lanes)
+        np.testing.assert_allclose(C_on.to_dense(), want, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(C_off.to_dense(), want, rtol=1e-4,
+                                   atol=1e-4)
+
+    # transpose_b (TC idiom): Σ_k (A[i,k] − B[j,k]) on mask slots
+    inter_t = (Ad != 0)[:, :, None] * (Bd != 0).T[None, :, :]
+    prods_t = (Ad[:, :, None] - Bd.T[None, :, :]) * inter_t
+    want_t = prods_t.sum(axis=1) * (Ad != 0)
+    monkeypatch.setenv("GRB_SPGEMM_MINSIDE", "1")
+    Ct = spgemm_masked(A, Bv, A, gb.PlusMinusSemiring, transpose_b=True,
+                       max_lanes=64)
+    np.testing.assert_allclose(Ct.to_dense(), want_t, rtol=1e-4, atol=1e-4)
