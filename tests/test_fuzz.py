@@ -90,3 +90,65 @@ def test_fuzz_matvec(seed, name):
                     np.asarray(got), ref, rtol=1e-4, atol=1e-5,
                     err_msg=f"{name} t={transpose} mode={mode} "
                             f"mask={use_mask} scmp={scmp}")
+
+
+SPGEMM_SEMIRINGS = dict(SEMIRINGS)
+SPGEMM_SEMIRINGS["PlusMinus"] = (
+    gb.PlusMinusSemiring, 0.0, lambda acc, a, b: acc + (a - b))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("name", list(SPGEMM_SEMIRINGS))
+def test_fuzz_masked_spgemm(seed, name, monkeypatch):
+    """Masked SpGEMM vs brute-force dense semiring evaluation over stored
+    entries, sweeping transpose_b × min-side × chunking. Degree skew (a few
+    hub rows) forces a genuine side split so swap_mul operand-order bugs
+    can't hide (the class of defect the min-side expansion could introduce)."""
+    from graphblast_tpu.ops.spgemm import spgemm_masked
+
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(30, 70))
+
+    def rand_mat(hubs):
+        m = int(rng.integers(n, n * 6))
+        rows = rng.integers(0, n, m)
+        if hubs:   # concentrate ~half the entries on 3 hub rows
+            hub = rng.integers(0, n, 3)
+            pick = rng.random(m) < 0.5
+            rows[pick] = hub[rng.integers(0, 3, int(pick.sum()))]
+        cols = rng.integers(0, n, m)
+        vals = (rng.random(m) * 4 + 0.5).astype(np.float32)
+        key = rows.astype(np.int64) * n + cols
+        _, keep = np.unique(key, return_index=True)
+        rows, cols, vals = rows[keep], cols[keep], vals[keep]
+        M = gb.Matrix.from_coo(rows, cols, vals, n, n)
+        Md = np.zeros((n, n), np.float32)
+        Md[rows, cols] = vals
+        return M, Md
+
+    A, Ad = rand_mat(hubs=True)
+    B, Bd = rand_mat(hubs=False)
+    Mk, Mkd = rand_mat(hubs=True)
+    semiring, ident, combine = SPGEMM_SEMIRINGS[name]
+
+    for transpose_b in (False, True):
+        want = np.zeros((n, n), np.float32)
+        Bside = Bd.T if transpose_b else Bd
+        mi, mj = np.nonzero(Mkd)
+        for i, j in zip(mi, mj):
+            acc = np.float32(ident)
+            for k in range(n):
+                if Ad[i, k] != 0 and Bside[k, j] != 0:
+                    acc = combine(acc, np.float32(Ad[i, k]),
+                                  np.float32(Bside[k, j]))
+            want[i, j] = acc
+        for minside in ("1", "0"):
+            monkeypatch.setenv("GRB_SPGEMM_MINSIDE", minside)
+            for lanes in (32, 1 << 18):   # many chunks / single chunk
+                C = spgemm_masked(A, B, Mk, semiring,
+                                  transpose_b=transpose_b, max_lanes=lanes)
+                got = C.to_dense()
+                np.testing.assert_allclose(
+                    got[mi, mj], want[mi, mj], rtol=1e-4, atol=1e-4,
+                    err_msg=f"{name} transpose_b={transpose_b} "
+                            f"minside={minside} lanes={lanes}")
