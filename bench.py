@@ -493,6 +493,7 @@ def _emit(merged, args, final=False):
               "bfs_mode", "sssp_gteps", "sssp_gteps_total",
               "spmv_gbs", "spmv_gteps", "pr_iters_per_s",
               "tc_ms", "tc_rate_meps", "tc_scale",
+              "tc_ms_rmat20", "tc_rate_meps_rmat20",
               "bfs_gteps_rmat22", "bfs_gteps_total_rmat22",
               "spmv_gbs_rmat22", "spmv_gteps_rmat22",
               "bfs_gteps_rmat24", "bfs_gteps_total_rmat24",
@@ -556,6 +557,8 @@ def main():
         ("tc", "tc", min(args.scale, 18), 1, 1.0),
         ("tc15", "tc", 15, 1, 1.0),   # fallback: records a TC number even
         #                               if the scale-18 stage times out
+        ("tc20", "tc", 20, 1, 1.0),   # opportunistic: only after a FAST tc18
+        #                               (min-side sort-join, VERDICT r2 #4)
         ("bfs22", "bfs", 22, 2, 2.0),
         ("spmv22", "spmv", 22, 1, 2.0),   # value SpMV above the VMEM limit:
         #                                   exercises the windowed-DMA plan
@@ -570,6 +573,9 @@ def main():
             continue   # main scale already covers it
         if stage == "tc15" and ("tc_ms" in merged or args.scale <= 15):
             continue   # scale-18 TC landed (or was already the main run)
+        if stage == "tc20" and not (merged.get("tc_scale") == 18
+                                    and merged.get("tc_ms", 1e9) < 120_000):
+            continue   # only chase scale 20 when 18 ran AND was fast
         tmo = STAGE_TIMEOUT * mult
         remaining = TOTAL_TIMEOUT - (time.perf_counter() - t_start)
         if remaining < 180:
@@ -605,6 +611,9 @@ def main():
             if stage in ("tc", "tc15"):
                 # tc may run on a capped scale — don't clobber n/nnz/device
                 vals = {k: v for k, v in vals.items() if k.startswith("tc_")}
+            elif stage == "tc20":
+                vals = {f"{k}_rmat20": v for k, v in vals.items()
+                        if k in ("tc_ms", "tc_rate_meps")}
             elif stage in ("bfs22", "bfs24"):
                 sfx = stage[3:]
                 vals = {f"{k}_rmat{sfx}": v for k, v in vals.items()
