@@ -462,15 +462,16 @@ def spgemm_esc(A: Matrix, B: Matrix, semiring: Semiring,
                                np.zeros(0), A.nrows, out_ncols, dtype=out_dtype)
     max_lanes = max(max_lanes, int(deg_np.max()))
 
-    # greedy chunking of A-entry ranges so each chunk expands <= max_lanes
+    # greedy chunking of A-entry ranges so each chunk expands <= max_lanes —
+    # prefix-sum searchsorted, not a per-entry Python loop (minutes of host
+    # time at scale-18+ nnz; same fix as spgemm_masked)
+    csum = np.concatenate([[0], np.cumsum(deg_np)])
     bounds = [0]
-    acc = 0
-    for t in range(nvals):
-        if acc + deg_np[t] > max_lanes and acc > 0:
-            bounds.append(t)
-            acc = 0
-        acc += int(deg_np[t])
-    bounds.append(nvals)
+    while bounds[-1] < nvals:
+        s = bounds[-1]
+        tt = int(np.searchsorted(csum, csum[s] + max_lanes,
+                                 side="right")) - 1
+        bounds.append(min(max(tt, s + 1), nvals))
     n_chunks = len(bounds) - 1
     chunk_tot = [int(deg_np[bounds[c]:bounds[c + 1]].sum())
                  for c in range(n_chunks)]
