@@ -448,6 +448,26 @@ def _selfcheck(args, log, dev):
     checks["sssp_mismatch"] = bad
     assert bad == 0, f"SSSP: {bad} wrong distances"
 
+    # 5. sparse masked-SpGEMM TC (min-side sort-join) vs CPU golden — the
+    # tc/tc20 stages time this exact path but never check its count. SOFT:
+    # a failure records the string; the tc stages carry their own crash
+    # handling and the headline BFS is unaffected.
+    try:
+        from graphblast_tpu.algorithms.tc import tc as _tc, tc_cpu as _tc_cpu
+        from graphblast_tpu.operations import tril as _tril
+
+        os.environ["GRB_TC_DENSE_LIMIT"] = "1"   # force the sort-join path
+        try:
+            Lc = _tril(A)
+            got_tc = int(_tc(Lc))
+            want_tc = int(_tc_cpu(Lc))
+            checks["tc_sparse_delta"] = got_tc - want_tc
+            assert got_tc == want_tc, f"tc {got_tc} != golden {want_tc}"
+        finally:
+            os.environ.pop("GRB_TC_DENSE_LIMIT", None)
+    except Exception as ex:
+        checks["tc_sparse_delta"] = f"FAIL: {type(ex).__name__}: {ex}"[:200]
+
     # pick the window-sweep variant for the TIMED stages: the r3 pruned
     # fori sweep is expected faster but was never hardware-measured (the
     # relay was down); a cheap timed comparison here protects the headline
