@@ -491,14 +491,18 @@ def _selfcheck(args, log, dev):
                                     for k, v in times.items()}
         pick["sweep_pick"] = best
 
-    log(f"[selfcheck] rmat{scale} all kernels+algorithms verified on "
-        f"{dev.device_kind} in {time.perf_counter() - t0:.1f}s: {checks}")
-    return {"selfcheck": "ok", "selfcheck_scale": scale,
+    soft_fails = [k for k, v in checks.items()
+                  if isinstance(v, str) and v.startswith("FAIL")]
+    status = "ok" if not soft_fails else f"soft-fail:{','.join(soft_fails)}"
+    log(f"[selfcheck] rmat{scale} kernels+algorithms verified on "
+        f"{dev.device_kind} in {time.perf_counter() - t0:.1f}s "
+        f"({status}): {checks}")
+    return {"selfcheck": status, "selfcheck_scale": scale,
             "device": dev.device_kind, **pick,
             **{f"check_{k}": v for k, v in checks.items()}}
 
 
-def _emit(merged, args, final=False):
+def _emit(merged, args):
     """(Re)build the single driver line and print it NOW — a later stage
     timing out must never cost the record (VERDICT r2 next-#1a)."""
     bfs = merged.get("bfs_gteps", 0.0)
@@ -508,6 +512,12 @@ def _emit(merged, args, final=False):
         "unit": "GTEPS",
         "vs_baseline": bfs,
     }
+    # every check_* key ships in the record (they're small scalars, or FAIL
+    # strings when a soft kernel check tripped — the whole point of the
+    # selfcheck is that its verdict reaches the driver line)
+    for k in sorted(merged):
+        if k.startswith("check_"):
+            result[k] = merged[k]
     for k in ("selfcheck", "sweep_pick",
               "bfs_gteps_total", "bfs_gteps_pushpull",
               "bfs_mode", "sssp_gteps", "sssp_gteps_total",
@@ -574,10 +584,13 @@ def main():
         ("pr", "pr", args.scale, 1, 1.0),
         ("sssp", "sssp", args.scale, args.sources, 1.0),
         ("bfs_pushpull", "bfs_pushpull", args.scale, args.sources, 1.0),
-        ("tc", "tc", min(args.scale, 18), 1, 1.0),
-        ("tc15", "tc", 15, 1, 1.0),   # fallback: records a TC number even
+        # tc keeps the 2x stage budget: the dense block-pair fallback's cold
+        # compile measured ~10 min (CLAUDE.md), and the sort-join's remote
+        # compile variance is unmeasured this round (relay down)
+        ("tc", "tc", min(args.scale, 18), 1, 2.0),
+        ("tc15", "tc", 15, 1, 2.0),   # fallback: records a TC number even
         #                               if the scale-18 stage times out
-        ("tc20", "tc", 20, 1, 1.0),   # opportunistic: only after a FAST tc18
+        ("tc20", "tc", 20, 1, 2.0),   # opportunistic: only after a FAST tc18
         #                               (min-side sort-join, VERDICT r2 #4)
         ("bfs22", "bfs", 22, 2, 2.0),
         ("spmv22", "spmv", 22, 1, 2.0),   # value SpMV above the VMEM limit:
@@ -587,6 +600,8 @@ def main():
     merged = {"stages_done": [], "stages_skipped": []}
     if not device_up:
         merged["device"] = "unreachable"
+        merged["stages_skipped"] += [f"{p[0]}:relay_down" for p in plan
+                                     if p[0] != "bfs"]
         plan = [p for p in plan if p[0] == "bfs"]
     for stage, real_stage, stage_scale, nsources, mult in plan:
         if stage in ("bfs22", "spmv22", "bfs24") and args.scale >= stage_scale:
@@ -660,7 +675,7 @@ def main():
             # unmeasured fori default
             merged.setdefault("sweep_pick", "unroll")
         _emit(merged, args)
-    _emit(merged, args, final=True)
+    _emit(merged, args)
 
 
 if __name__ == "__main__":

@@ -70,3 +70,14 @@ def print_dirinfo(nv, n, used_push, prev_push, dirinfo: bool):
 
 def dense_result(n, arr) -> Vector:
     return Vector(n, Storage.DENSE, dense=arr)
+
+
+def csc_int_arrays(A: Matrix):
+    """(ptr, ind, val-as-int32) of A's CSC, falling back to the CSR
+    orientation for CSRONLY matrices (col_ptr=None) — the reference's
+    forced-direction idiom for that format
+    (backend/cuda/operations.hpp:131-140). Identical results on symmetric
+    graphs, the normal domain of the MIS / coloring callers."""
+    if A.col_ptr is None:
+        return A.row_ptr, A.col_ind, A.val.astype(jnp.int32)
+    return A.col_ptr, A.csc_row_ind, A.csc_val.astype(jnp.int32)

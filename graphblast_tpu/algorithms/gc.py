@@ -23,23 +23,13 @@ from ..semiring import (LogicalOrAndSemiring, MaximumMultipliesSemiring)
 from ..types import INDEX_DTYPE
 from ..vector import Vector
 from ..ops.spmv import spmv_pull
-from .common import dense_result
+from .common import csc_int_arrays, dense_result
 from .mis import random_weights, _mis_fused
-
-
-def _csc_int(A: Matrix):
-    # CSRONLY matrices carry no CSC arrays (col_ptr=None) — fall back to the
-    # CSR orientation, the reference's forced-direction idiom for that format
-    # (backend/cuda/operations.hpp:131-140). Identical results for symmetric
-    # graphs (coloring's normal domain).
-    if A.col_ptr is None:
-        return A.row_ptr, A.col_ind, A.val.astype(jnp.int32)
-    return A.col_ptr, A.csc_row_ind, A.csc_val.astype(jnp.int32)
 
 
 def _gc_is_round(A: Matrix, v, w, it):
     n = A.nrows
-    ptr, ind, val = _csc_int(A)
+    ptr, ind, val = csc_int_arrays(A)
     # UNMASKED max-of-neighbors (gc.hpp:104-106)
     m = spmv_pull(ptr, ind, val, w, MaximumMultipliesSemiring, n)
     f = (w > m).astype(jnp.int32)  # eWiseAdd GreaterPlus (gc.hpp:112-113)
@@ -71,7 +61,7 @@ def _gc_is_fused(A: Matrix, w0, *, max_niter):
 
 def _gc_jp_round(A: Matrix, v, w, max_colors: int):
     n = A.nrows
-    ptr, ind, val = _csc_int(A)
+    ptr, ind, val = csc_int_arrays(A)
     # masked max-of-neighbors (gc.hpp:337-339: vxm(m, mask=w, MaxMult, w, A))
     m = spmv_pull(ptr, ind, val, w, MaximumMultipliesSemiring, n, mask_dense=w)
     f = (w > m).astype(jnp.int32)

@@ -24,7 +24,7 @@ from ..semiring import MaximumMultipliesSemiring, LogicalOrAndSemiring
 from ..types import INDEX_DTYPE
 from ..vector import Vector
 from ..ops.spmv import spmv_pull
-from .common import TightTimer, dense_result, print_iter_row
+from .common import TightTimer, csc_int_arrays, dense_result, print_iter_row
 
 
 def random_weights(n: int, seed: int) -> jnp.ndarray:
@@ -34,17 +34,9 @@ def random_weights(n: int, seed: int) -> jnp.ndarray:
     return jax.random.randint(key, (n,), 1, 2 ** 30, dtype=jnp.int32)
 
 
-def _pull_arrays(A: Matrix):
-    # CSRONLY fallback: forced-direction over CSR (operations.hpp:131-140);
-    # identical for symmetric graphs, MIS's normal domain
-    if A.col_ptr is None:
-        return A.row_ptr, A.col_ind, A.val.astype(jnp.int32)
-    return A.col_ptr, A.csc_row_ind, A.csc_val.astype(jnp.int32)
-
-
 def _mis_round(A: Matrix, v, w):
     n = A.nrows
-    ptr, ind, val = _pull_arrays(A)
+    ptr, ind, val = csc_int_arrays(A)
     # vxm(m, mask=w, MaximumMultiplies, w, A) — mis.hpp:81-83. CSC pull.
     m = spmv_pull(ptr, ind, val, w,
                   MaximumMultipliesSemiring, n, mask_dense=w)

@@ -73,15 +73,18 @@ class DenseMatrix:
                  dtype=jnp.float32) -> "DenseMatrix":
         """COO build with duplicate combination (reference: the templated
         build(row_indices, col_indices, values, nvals, dup)). Unspecified
-        slots are 0. dup=None keeps the LAST duplicate (the reference's
-        std::map insertion order quirk is unspecified; last-write is the
-        deterministic XLA scatter order)."""
+        slots are 0. dup=None keeps the LAST duplicate, applied on the host
+        (numpy assignment order — a jnp .set with colliding indices is
+        unspecified on accelerator backends; build is a host-side
+        constructor anyway)."""
         rows = np.asarray(rows, np.int64)
         cols = np.asarray(cols, np.int64)
         vals = np.asarray(vals, dtype)
         a = jnp.zeros((nrows, ncols), dtype)
         if dup is None:
-            a = a.at[rows, cols].set(vals)
+            host = np.zeros((nrows, ncols), dtype)
+            host[rows, cols] = vals
+            a = jnp.asarray(host)
         elif dup.name == "plus":
             a = a.at[rows, cols].add(vals)
         else:

@@ -431,8 +431,11 @@ def spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
     interpret defaults to True off-TPU so the same call sites work (slowly)
     under the CPU test backend. matmul ∈ {highest, hilo} and sweep ∈
     {fori, unroll} select the scatter-precision / window-sweep variants
-    (env GRB_BILINEAR_MATMUL / GRB_BILINEAR_SWEEP; defaults measured best
-    on v5 lite, tools/tpu_bilinear_test.py). An F32DmaPlan (built by
+    (env GRB_BILINEAR_MATMUL / GRB_BILINEAR_SWEEP; the sweep default is the
+    hardware-proven 'unroll' — the chi-pruned 'fori' variant is expected
+    faster but was never Mosaic-lowered on a real chip while the relay was
+    down; bench.py's selfcheck times both and pins the winner,
+    tools/tpu_bilinear_test.py sweeps all variants). An F32DmaPlan (built by
     plan_for above the VMEM-residency limit) routes to the windowed-DMA
     kernel transparently."""
     if interpret is None:
@@ -442,7 +445,7 @@ def spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
     if isinstance(plan, F32DmaPlan):
         return _spmv_bilinear_dma(plan, x, interpret, matmul)
     if sweep is None:
-        sweep = os.environ.get("GRB_BILINEAR_SWEEP", "fori").lower()
+        sweep = os.environ.get("GRB_BILINEAR_SWEEP", "unroll").lower()
     return _spmv_bilinear(plan, x, interpret, matmul, sweep)
 
 
@@ -800,7 +803,7 @@ def spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if sweep is None:
-        sweep = os.environ.get("GRB_BILINEAR_SWEEP", "fori").lower()
+        sweep = os.environ.get("GRB_BILINEAR_SWEEP", "unroll").lower()
     return _spmv_bilinear_bitmap(plan, words, interpret, sweep)
 
 

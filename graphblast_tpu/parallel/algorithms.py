@@ -360,7 +360,8 @@ def pr_dist(A: Matrix, mesh: jax.sharding.Mesh, alpha: float = 0.85,
             from ..algorithms.pr import prepare_pr_matrix
 
             A = prepare_pr_matrix(A, alpha)
-        Ash = partition(A, mesh, build_value_plan=True)
+        Ash = partition(A, mesh, build_value_plan=True,
+                        build_pull_plan=False)
     run = _cached_fn(Ash, ("pr", alpha, eps, desc.max_niter),
                      lambda: make_pr_dist(mesh, Ash, alpha, eps, desc))
     p = run()
@@ -506,7 +507,7 @@ def sssp_dist(A: Matrix, source: int, mesh: jax.sharding.Mesh,
               Ash: Optional[ShardedMatrix] = None) -> np.ndarray:
     """Distributed Bellman-Ford (fused pull loop)."""
     if Ash is None:
-        Ash = partition(A, mesh)
+        Ash = partition(A, mesh, build_pull_plan=False)
     run = _cached_fn(Ash, ("sssp", desc.max_niter),
                      lambda: make_sssp_dist(mesh, Ash, desc))
     v = run(jnp.asarray(source, INDEX_DTYPE))
@@ -593,7 +594,7 @@ def cc_dist(A: Matrix, mesh: jax.sharding.Mesh, desc: Descriptor = DEFAULT,
             Ash: Optional[ShardedMatrix] = None) -> np.ndarray:
     """Distributed connected components (fused FastSV loop)."""
     if Ash is None:
-        Ash = partition(A, mesh)
+        Ash = partition(A, mesh, build_pull_plan=False)
     run = _cached_fn(Ash, ("cc", desc.max_niter),
                      lambda: make_cc_dist(mesh, Ash, desc))
     parent = run()
@@ -727,7 +728,7 @@ def tc_prepare(L: Matrix, mesh: jax.sharding.Mesh,
     """Host-side TC prep reusable across tc_dist calls: bucketed mask edges
     already device_put onto the mesh (pass as tc_dist's `prep`)."""
     if Ash is None:
-        Ash = partition(L, mesh)
+        Ash = partition(L, mesh, build_pull_plan=False)
     P, rows_per = Ash.P, Ash.rows_per
     ei, ej, cnt, _, ec = _tc_prepare(L, P, rows_per)
     sh3 = jax.sharding.NamedSharding(mesh, P_("x", None, None))
@@ -818,7 +819,7 @@ def mis_dist(A: Matrix, mesh: jax.sharding.Mesh, seed: int = 0,
              Ash: Optional[ShardedMatrix] = None) -> np.ndarray:
     """Distributed maximal independent set (0/1 membership)."""
     if Ash is None:
-        Ash = partition(A, mesh)
+        Ash = partition(A, mesh, build_pull_plan=False)
     run = _cached_fn(Ash, ("mis", seed, desc.max_niter),
                      lambda: make_mis_dist(mesh, Ash, seed, desc))
     v = run()
@@ -872,7 +873,7 @@ def gc_dist(A: Matrix, mesh: jax.sharding.Mesh, seed: int = 0,
             Ash: Optional[ShardedMatrix] = None) -> np.ndarray:
     """Distributed IS graph coloring (colors are 1-based round ids)."""
     if Ash is None:
-        Ash = partition(A, mesh)
+        Ash = partition(A, mesh, build_pull_plan=False)
     run = _cached_fn(Ash, ("gc", seed, desc.max_niter),
                      lambda: make_gc_dist(mesh, Ash, seed, desc))
     v = run()
@@ -950,7 +951,7 @@ def lgc_dist(A: Matrix, source: int, mesh: jax.sharding.Mesh,
              Ash: Optional[ShardedMatrix] = None) -> np.ndarray:
     """Distributed local graph clustering (approximate PPR around source)."""
     if Ash is None:
-        Ash = partition(A, mesh)
+        Ash = partition(A, mesh, build_pull_plan=False)
     run = _cached_fn(Ash, ("lgc", alpha, eps, desc.max_niter),
                      lambda: make_lgc_dist(mesh, Ash, alpha, eps, desc))
     p = run(jnp.asarray(source, INDEX_DTYPE))

@@ -171,14 +171,14 @@ def _stack_pull_plans(csc_blocks, rows_per: int, n_pad: int, mesh, axis):
     """Per-shard bitmap pull plans, shape-equalized and stacked (P, flat)."""
     import os
 
-    from ..ops.pallas.bilinear import build_plan_bitmap, pad_bitmap_plan
+    from ..ops.pallas.bilinear import SUBB, build_plan_bitmap, pad_bitmap_plan
 
     if os.environ.get("GRB_DIST_PALLAS", "1") != "1":
         return None
     plans = [build_plan_bitmap(b[0], b[1], rows_per, n_pad, dma_cblk=False)
              for b in csc_blocks]
     m_pad = max(p.m_pad for p in plans)
-    if m_pad // 2048 > 120_000:      # unified nsb over the SMEM budget:
+    if m_pad // SUBB > 120_000:      # unified nsb over the SMEM budget:
         plans = [build_plan_bitmap(b[0], b[1], rows_per, n_pad,
                                    dma_cblk=True) for b in csc_blocks]
     plans = [pad_bitmap_plan(p, m_pad) for p in plans]
@@ -230,14 +230,18 @@ def _stack_value_plans(csc_blocks, rows_per: int, n_pad: int, mesh, axis):
 
 def partition(A: Matrix, mesh: jax.sharding.Mesh, axis: str = "x",
               pad_edges_to: int = 1024,
-              build_value_plan: bool = False) -> ShardedMatrix:
+              build_value_plan: bool = False,
+              build_pull_plan: bool = True) -> ShardedMatrix:
     """Host-side 1D partition of A onto `mesh` (reference: none — this is the
     TPU framework's replacement for the reference's memusage-bounded
     single-GPU scaling, SURVEY.md §5 long-context note).
 
     build_value_plan additionally stacks per-shard windowed-DMA value
     plans (pr_dist's allgather layout asks for it; BFS-class users skip
-    the extra host pass)."""
+    the extra host pass). build_pull_plan stacks the per-shard bitmap
+    pull plans only BFS-class traversals consume (default on — external
+    partitions are usually fed to bfs_dist); the non-BFS dist algorithms
+    pass False to skip the per-shard lexsort + (P, m_pad) device_put."""
     P = mesh.shape[axis]
     n = A.nrows
     assert A.nrows == A.ncols, "1D partition assumes square adjacency"
@@ -278,7 +282,8 @@ def partition(A: Matrix, mesh: jax.sharding.Mesh, axis: str = "x",
         n=n, n_pad=n_pad, P=P, rows_per=rows_per, nvals=A.nvals,
         csr_ptr=put(csr_ptr), csr_ind=put(csr_ind), csr_val=put(csr_val),
         csc_ptr=put(csc_ptr), csc_ind=put(csc_ind), csc_val=put(csc_val),
-        pull_plan=_stack_pull_plans(csc_blocks, rows_per, n_pad, mesh, axis),
+        pull_plan=(_stack_pull_plans(csc_blocks, rows_per, n_pad, mesh, axis)
+                   if build_pull_plan else None),
         value_pull_plan=(_stack_value_plans(csc_blocks, rows_per, n_pad,
                                             mesh, axis)
                          if build_value_plan else None))
