@@ -48,8 +48,16 @@ def bench_sssp(name, tiers, sw):
     per = (time.perf_counter()-t0)/4
     log(f"sssp {name}: {per*1e3:.2f} ms/run (iters={int(it)})")
 
+import os
+
 bench_bfs("pushpull", Direction.PUSHPULL)
 bench_bfs("pullonly", Direction.PULLONLY)
+os.environ["GRB_PUSH_BITMAP_SORT"] = "1"
+bench_bfs("pushpull bitmap-sort", Direction.PUSHPULL)
+os.environ.pop("GRB_PUSH_BITMAP_SORT")
 bench_sssp("t(8) sw.01", (8,), 0.01)
 bench_sssp("t(64,8) sw.01", (64, 8), 0.01)
 bench_sssp("t(8) sw.004", (8,), 0.004)
+bench_sssp("t(64,8) sw.004", (64, 8), 0.004)
+bench_sssp("t(256,32,4) sw.01", (256, 32, 4), 0.01)
+bench_sssp("t(64,8) sw.02", (64, 8), 0.02)
