@@ -191,7 +191,13 @@ def run_stage(args, stage: str):
 
     elif stage == "sssp":
         from graphblast_tpu.algorithms.sssp import _sssp_fused
+        from graphblast_tpu.ops.pallas.monopull import plan_for_monoid
 
+        # MinimumPlus pull on the Pallas monoid kernel (None above the VMEM
+        # residency limit → sorted-pipeline fallback inside mxv_dual)
+        mplan = (plan_for_monoid(A, transpose=True)
+                 if os.environ.get("GRB_MONOID_PULL", "1") == "1" else None)
+        log(f"[sssp] pull kernel={'monoid' if mplan is not None else 'sorted'}")
         # two tiers: small push iterations were paying the 8M-tier sort
         # (measured 67.5 ms/run with (64,8) vs 101 ms with (8,))
         kw = dict(edge_cap=min(A.nnz_pad,
@@ -206,10 +212,10 @@ def run_stage(args, stage: str):
 
         @jax.jit
         def run_all(srcs):
-            v0, _ = _sssp_fused(A, srcs[0], **kw)
+            v0, _ = _sssp_fused(A, srcs[0], mplan, **kw)
 
             def body(c, s):
-                v, _ = _sssp_fused(A, s, **kw)
+                v, _ = _sssp_fused(A, s, mplan, **kw)
                 return c + v[0] * 1e-30, ()
             c, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), srcs)
             # unreachable sentinel is FLT_MAX (sssp.hpp:26 convention);
@@ -435,16 +441,34 @@ def _selfcheck(args, log, dev):
         checks[f"bfs_{name}_mismatch"] = bad
         assert bad == 0, f"BFS {name}: {bad} wrong levels"
 
-    # 4. fused SSSP vs CPU golden
-    vs, _ = _sssp_fused(A, jnp.asarray(src, INDEX_DTYPE),
-                        edge_cap=kw["edge_cap"], switchpoint=0.01,
-                        mode=Direction.PUSHPULL, sort_push=True,
-                        tiers=(64, 8), max_niter=1000)
+    # 4. fused SSSP vs CPU golden — tried FIRST on the r3 Pallas monoid
+    # pull (never hardware-lowered while the relay was down); a lowering
+    # failure there falls back to the sorted pipeline and pins the monoid
+    # plan OFF for the timed sssp stage (mono_pick). The golden comparison
+    # stays HARD either way.
+    from graphblast_tpu.ops.pallas.monopull import plan_for_monoid
+
+    mono_pick = None
+
+    def _run_sssp(p):
+        vs, _ = _sssp_fused(A, jnp.asarray(src, INDEX_DTYPE), p,
+                            edge_cap=kw["edge_cap"], switchpoint=0.01,
+                            mode=Direction.PUSHPULL, sort_push=True,
+                            tiers=(64, 8), max_niter=1000)
+        return np.asarray(vs)
+
+    try:
+        vs = _run_sssp(plan_for_monoid(A, transpose=True))
+        checks["sssp_monoid"] = "ok"
+    except Exception as ex:
+        checks["sssp_monoid"] = f"FAIL: {type(ex).__name__}: {ex}"[:200]
+        vs = _run_sssp(None)
+        mono_pick = "off"
     want_d = reference.sssp_cpu(A, src)
-    errs = np.abs(np.asarray(vs) - want_d)
+    errs = np.abs(vs - want_d)
     finite = want_d < np.finfo(np.float32).max
     bad = int((errs[finite] > 1e-3 * np.maximum(want_d[finite], 1)).sum()
-              + (np.asarray(vs)[~finite] < np.finfo(np.float32).max).sum())
+              + (vs[~finite] < np.finfo(np.float32).max).sum())
     checks["sssp_mismatch"] = bad
     assert bad == 0, f"SSSP: {bad} wrong distances"
 
@@ -473,6 +497,8 @@ def _selfcheck(args, log, dev):
     # relay was down); a cheap timed comparison here protects the headline
     # from an unmeasured-default regression. Only when the user didn't pin.
     pick = {}
+    if mono_pick is not None:
+        pick["mono_pick"] = mono_pick
     if sweep_forced is not None:
         pick["sweep_pick"] = sweep_forced
     elif bplan is not None and "GRB_BILINEAR_SWEEP" not in os.environ:
@@ -518,7 +544,7 @@ def _emit(merged, args):
     for k in sorted(merged):
         if k.startswith("check_"):
             result[k] = merged[k]
-    for k in ("selfcheck", "sweep_pick",
+    for k in ("selfcheck", "sweep_pick", "mono_pick",
               "bfs_gteps_total", "bfs_gteps_pushpull",
               "bfs_mode", "sssp_gteps", "sssp_gteps_total",
               "spmv_gbs", "spmv_gteps", "pr_iters_per_s",
@@ -625,6 +651,9 @@ def main():
         env = dict(os.environ)
         if merged.get("sweep_pick") and "GRB_BILINEAR_SWEEP" not in os.environ:
             env["GRB_BILINEAR_SWEEP"] = merged["sweep_pick"]
+        if (merged.get("mono_pick") == "off"
+                and "GRB_MONOID_PULL" not in os.environ):
+            env["GRB_MONOID_PULL"] = "0"
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=tmo, env=env)
@@ -674,6 +703,7 @@ def main():
             # unrolled sweep for every timed stage rather than trusting the
             # unmeasured fori default
             merged.setdefault("sweep_pick", "unroll")
+            merged.setdefault("mono_pick", "off")
         _emit(merged, args)
     _emit(merged, args)
 

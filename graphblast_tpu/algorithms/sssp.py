@@ -43,8 +43,8 @@ def _initial_frontier(n: int, source) -> DualFrontier:
                         jnp.asarray(1.0 / n, jnp.float32), jnp.asarray(True))
 
 
-def _sssp_step(A: Matrix, v, f: DualFrontier, *, edge_cap, switchpoint, mode, tiers=(64, 8),
-               sort_push):
+def _sssp_step(A: Matrix, v, f: DualFrontier, plan=None, *, edge_cap,
+               switchpoint, mode, tiers=(64, 8), sort_push):
     def filter_unproductive(y):
         # eWiseAdd(m, CustomLessPlus, f2, v) + scmp-masked assign FLT_MAX
         # (sssp.hpp:76-88) fused into one where
@@ -54,7 +54,7 @@ def _sssp_step(A: Matrix, v, f: DualFrontier, *, edge_cap, switchpoint, mode, ti
         A, f, MinimumPlusSemiring, identity=jnp.asarray(MAXF, jnp.float32),
         transpose=True, edge_cap=edge_cap, sort_push=sort_push,
         switchpoint=switchpoint, mode=mode, tier_divisors=tiers,
-        postprocess=filter_unproductive)
+        postprocess=filter_unproductive, pull_plan=plan)
     # relax: v = min(v, f2) (eWiseAdd MinimumPlus, sssp.hpp:80-82);
     # filtered entries are FLT_MAX and cannot lower v
     v = jnp.minimum(v, f2.dense)
@@ -64,8 +64,8 @@ def _sssp_step(A: Matrix, v, f: DualFrontier, *, edge_cap, switchpoint, mode, ti
 
 @functools.partial(jax.jit, static_argnames=(
     "edge_cap", "switchpoint", "mode", "sort_push", "tiers", "max_niter"))
-def _sssp_fused(A: Matrix, source, *, edge_cap, switchpoint, mode, sort_push, tiers=(64, 8),
-                max_niter):
+def _sssp_fused(A: Matrix, source, plan=None, *, edge_cap, switchpoint,
+                mode, sort_push, tiers=(64, 8), max_niter):
     n = A.nrows
     v0 = jnp.full((n,), MAXF, jnp.float32).at[
         jnp.asarray(source, INDEX_DTYPE)].set(0.0)
@@ -77,7 +77,7 @@ def _sssp_fused(A: Matrix, source, *, edge_cap, switchpoint, mode, sort_push, ti
 
     def body(state):
         it, v, f, _ = state
-        v, f2, succ, _ = _sssp_step(A, v, f, edge_cap=edge_cap,
+        v, f2, succ, _ = _sssp_step(A, v, f, plan, edge_cap=edge_cap,
                                     switchpoint=switchpoint, mode=mode,
                                     sort_push=sort_push, tiers=tiers)
         return it + 1, v, f2, succ
@@ -100,8 +100,20 @@ def sssp(A: Matrix, source: int, desc: Descriptor = DEFAULT,
               mode=desc.mxv_mode, sort_push=desc.sort_push,
               tiers=desc.push_tiers)
     n = A.nrows
+    # MinimumPlus pull rides the Pallas monoid kernel when A's CSC stash
+    # exists and x/y fit VMEM (ops/pallas/monopull.py); None falls back to
+    # the sorted pipeline inside mxv_dual. TPU-only by default — interpret
+    # emulation costs seconds/iter on CPU (the GRB_DIST_PALLAS_FORCE
+    # pattern); GRB_MONOID_PULL_FORCE=1 for the bounded parity test.
+    import os
+
+    from ..ops.pallas.monopull import plan_for_monoid
+
+    use_plan = (jax.default_backend() == "tpu"
+                or os.environ.get("GRB_MONOID_PULL_FORCE", "0") == "1")
+    plan = plan_for_monoid(A, transpose=True) if use_plan else None
     if mode == "fused":
-        v, _ = _sssp_fused(A, source, max_niter=desc.max_niter, **kw)
+        v, _ = _sssp_fused(A, source, plan, max_niter=desc.max_niter, **kw)
         return dense_result(n, v)
 
     timer = TightTimer()
@@ -110,7 +122,7 @@ def sssp(A: Matrix, source: int, desc: Descriptor = DEFAULT,
     prev_push = None
     for it in range(1, desc.max_niter + 1):
         timer.start()
-        v, f, succ_t, used_push = _sssp_step_jit(A, v, f, **kw)
+        v, f, succ_t, used_push = _sssp_step_jit(A, v, f, plan, **kw)
         ms = timer.stop(v, f.dense)
         succ = int(succ_t)
         print_dirinfo(succ, n, bool(used_push), prev_push, desc.dirinfo)

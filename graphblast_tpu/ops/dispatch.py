@@ -167,13 +167,23 @@ def mxv_dual(
             # tiled one-hot bilinear kernel (ops/pallas/bilinear.py): no
             # sort, no boundary gather. Serves Plus·× value pulls directly
             # and or-and struconly pulls as neighbor counts (count > 0 ==
-            # the fused-or result, kernels/spmv.hpp:10-59).
+            # the fused-or result, kernels/spmv.hpp:10-59). Min/Max-⊕
+            # semirings ride the monoid variant (ops/pallas/monopull.py:
+            # run-scan + one-hot MXU select) when a MonoidPlan was passed.
             from .pallas.bilinear import (BitmapPlan, spmv_bilinear,
                                           spmv_bilinear_bitmap)
+            from .pallas.monopull import (MonoidPlan, monoid_supported,
+                                          spmv_monoid)
             from .spmv import mask_pass
 
             ident = semiring.identity(f.dense.dtype)
-            if structure_only and semiring.name == "LogicalOrAnd":
+            if isinstance(pull_plan, MonoidPlan):
+                # f32-only: the plan stream is f32, and exactness of e.g.
+                # int32 MIS weights cannot survive the f32 value path
+                y = (spmv_monoid(pull_plan, f.dense, semiring)
+                     if (not structure_only and monoid_supported(semiring)
+                         and f.dense.dtype == jnp.float32) else None)
+            elif structure_only and semiring.name == "LogicalOrAnd":
                 # count>0 ≡ the fused-or result only when edge values are
                 # all ones — a value plan with cancelling weights could sum
                 # to zero for a reached vertex (ADVICE r2)

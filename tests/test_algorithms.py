@@ -74,3 +74,17 @@ def test_pagerank_chesapeake(chesapeake):
     got = pr(chesapeake, alpha=0.85, eps=1e-10).to_numpy()
     want = reference.pr_cpu(chesapeake, alpha=0.85, eps=1e-13, max_niter=300)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-6)
+
+
+def test_sssp_monoid_pull_parity(chesapeake, monkeypatch):
+    """SSSP with the Pallas monoid pull plan forced (interpret mode on CPU)
+    must match the golden and the planless run exactly — the integrated
+    dispatch branch (mxv_dual → spmv_monoid), not just the bare kernel."""
+    monkeypatch.setenv("GRB_MONOID_PULL_FORCE", "1")
+    desc = Descriptor(mxv_mode=Direction.PULLONLY)   # every iter on the plan
+    got = sssp(chesapeake, 3, desc=desc).to_numpy()
+    want = reference.sssp_cpu(chesapeake, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    monkeypatch.delenv("GRB_MONOID_PULL_FORCE")
+    base = sssp(chesapeake, 3, desc=desc).to_numpy()
+    np.testing.assert_array_equal(got, base)

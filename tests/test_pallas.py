@@ -350,3 +350,79 @@ def test_plan_for_cache(rng):
     assert p1 is p2
     pt = plan_for(A, transpose=True)
     assert pt is not None and pt.n_out == A.ncols
+
+
+def test_monoid_pull_kernel_goldens():
+    """spmv_monoid (run-scan + one-hot MXU select) vs numpy ⊕-goldens for
+    every supported semiring, both sweep variants, across window boundaries
+    (n > 4096) and with FLT_MAX sentinels in x (the SSSP shape)."""
+    from graphblast_tpu.ops.pallas.monopull import (build_plan_monoid,
+                                                    spmv_monoid)
+    from graphblast_tpu.semiring import (MaximumMultipliesSemiring,
+                                         MinimumPlusSemiring,
+                                         MinimumSelectSecondSemiring)
+
+    rng = np.random.default_rng(0)
+    MAXF = np.float64(np.finfo(np.float32).max)
+    for n_out, n_in, m in ((300, 300, 2500), (4300, 4200, 4000)):
+        rows = rng.integers(0, n_out, m)
+        cols = rng.integers(0, n_in, m)
+        key = rows.astype(np.int64) * n_in + cols
+        _, keep = np.unique(key, return_index=True)
+        rows, cols = rows[keep], cols[keep]
+        vals = (rng.random(len(rows)) * 3 + 0.5).astype(np.float32)
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        ptr = np.zeros(n_out + 1, np.int64)
+        np.add.at(ptr, rows + 1, 1)
+        ptr = np.cumsum(ptr)
+
+        x = np.where(rng.random(n_in) < 0.4, np.float32(MAXF),
+                     (rng.random(n_in) * 5).astype(np.float32)
+                     ).astype(np.float32)
+        plan = build_plan_monoid(ptr, cols, vals, n_out, n_in)
+
+        cases = [("min-plus", MinimumPlusSemiring,
+                  lambda a, xx: np.minimum(a + xx, MAXF))]
+        if n_out <= 4096:   # interpret mode is slow — the window-crossing
+            #                 size proves tiling with one semiring
+            cases += [("max-mul", MaximumMultipliesSemiring,
+                       lambda a, xx: np.clip(a * xx, -MAXF, MAXF)),
+                      ("min-second", MinimumSelectSecondSemiring,
+                       lambda a, xx: xx + 0 * a)]
+        for name, sr, gold in cases:
+            ident = np.float64(np.float32(sr.identity(jnp.float32)))
+            want = np.full(n_out, ident, np.float64)
+            prod = gold(vals.astype(np.float64), x[cols].astype(np.float64))
+            if name.startswith("min"):
+                np.minimum.at(want, rows, prod)
+            else:
+                np.maximum.at(want, rows, prod)
+            for sweep in ("unroll", "fori"):
+                got = np.asarray(spmv_monoid(plan, jnp.asarray(x), sr,
+                                             sweep=sweep))
+                rel = (np.abs(got - want.astype(np.float32))
+                       / (np.abs(want) + 1))
+                assert rel.max() < 1e-5, (name, sweep, rel.max())
+
+
+def test_monoid_pull_empty_and_identity_rows():
+    """Rows with no stored edges keep the ⊕ identity; an empty matrix plan
+    returns all-identity."""
+    from graphblast_tpu.ops.pallas.monopull import (build_plan_monoid,
+                                                    spmv_monoid)
+    from graphblast_tpu.semiring import MinimumPlusSemiring
+
+    MAXF = np.float32(np.finfo(np.float32).max)
+    ptr = np.array([0, 2, 2, 3], np.int64)   # row 1 empty
+    ind = np.array([0, 2, 1], np.int64)
+    val = np.array([1.0, 2.0, 3.0], np.float32)
+    plan = build_plan_monoid(ptr, ind, val, 3, 3)
+    x = np.array([10.0, 20.0, 30.0], np.float32)
+    got = np.asarray(spmv_monoid(plan, jnp.asarray(x), MinimumPlusSemiring))
+    np.testing.assert_allclose(got, [11.0, MAXF, 23.0], rtol=1e-6)
+
+    empty = build_plan_monoid(np.zeros(4, np.int64), np.zeros(0, np.int64),
+                              None, 3, 3)
+    got = np.asarray(spmv_monoid(empty, jnp.asarray(x), MinimumPlusSemiring))
+    np.testing.assert_allclose(got, [MAXF] * 3)

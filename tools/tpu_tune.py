@@ -36,14 +36,21 @@ def bench_bfs(name, mode):
     per = ((ts[1]+ts[3])-(ts[0]+ts[2]))/16
     log(f"bfs {name}: {per*1e3:.2f} ms/run ({A.nvals/per/1e9:.3f} GTEPS)")
 
-def bench_sssp(name, tiers, sw):
+from graphblast_tpu.ops.pallas.monopull import plan_for_monoid
+
+mono_plan = plan_for_monoid(A, transpose=True)
+
+
+def bench_sssp(name, tiers, sw, mplan=None):
     kw = dict(edge_cap=cap, switchpoint=sw, mode=Direction.PUSHPULL,
               sort_push=True, tiers=tiers, max_niter=1000)
-    v, it = _sssp_fused(A, jnp.asarray(int(srcs[0]), INDEX_DTYPE), **kw)
+    v, it = _sssp_fused(A, jnp.asarray(int(srcs[0]), INDEX_DTYPE), mplan,
+                        **kw)
     np.asarray(jnp.ravel(v)[0])
     t0 = time.perf_counter()
     for _ in range(4):
-        v, _ = _sssp_fused(A, jnp.asarray(int(srcs[0]), INDEX_DTYPE), **kw)
+        v, _ = _sssp_fused(A, jnp.asarray(int(srcs[0]), INDEX_DTYPE), mplan,
+                           **kw)
     np.asarray(jnp.ravel(v)[0])
     per = (time.perf_counter()-t0)/4
     log(f"sssp {name}: {per*1e3:.2f} ms/run (iters={int(it)})")
@@ -55,9 +62,10 @@ bench_bfs("pullonly", Direction.PULLONLY)
 os.environ["GRB_PUSH_BITMAP_SORT"] = "1"
 bench_bfs("pushpull bitmap-sort", Direction.PUSHPULL)
 os.environ.pop("GRB_PUSH_BITMAP_SORT")
-bench_sssp("t(8) sw.01", (8,), 0.01)
-bench_sssp("t(64,8) sw.01", (64, 8), 0.01)
-bench_sssp("t(8) sw.004", (8,), 0.004)
-bench_sssp("t(64,8) sw.004", (64, 8), 0.004)
-bench_sssp("t(256,32,4) sw.01", (256, 32, 4), 0.01)
-bench_sssp("t(64,8) sw.02", (64, 8), 0.02)
+bench_sssp("t(64,8) sw.01 sorted-pull", (64, 8), 0.01, None)
+bench_sssp("t(64,8) sw.01 monoid-pull", (64, 8), 0.01, mono_plan)
+bench_sssp("t(8) sw.01 monoid-pull", (8,), 0.01, mono_plan)
+bench_sssp("t(8) sw.004 monoid-pull", (8,), 0.004, mono_plan)
+bench_sssp("t(64,8) sw.004 monoid-pull", (64, 8), 0.004, mono_plan)
+bench_sssp("t(256,32,4) sw.01 monoid-pull", (256, 32, 4), 0.01, mono_plan)
+bench_sssp("t(64,8) sw.02 monoid-pull", (64, 8), 0.02, mono_plan)
