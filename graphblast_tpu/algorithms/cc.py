@@ -34,13 +34,26 @@ from .common import TightTimer, dense_result, print_iter_row
 IMAX = jnp.iinfo(jnp.int32).max
 
 
-def _cc_step(A: Matrix, parent, mnp, gp, gp_t):
+def _cc_step(A: Matrix, parent, mnp, gp, gp_t, plan=None):
     n = A.nrows
     parent_temp = parent
 
-    # 1) stochastic hooking: mnp_t[i] = min over j∈A(i,:) of gp[j]
-    mnp_t = spmv_pull(A.row_ptr, A.col_ind, A.val, gp,
-                      MinimumSelectSecondSemiring, n)
+    # 1) stochastic hooking: mnp_t[i] = min over j∈A(i,:) of gp[j].
+    # With a MonoidPlan the pull rides the Pallas run-scan/select kernel
+    # (ops/pallas/monopull.py): parent ids < n < 2^24 are f32-exact, the
+    # IMAX unproductive sentinel maps to >= n both ways, and the f32→int
+    # cast happens on a value clamped to n so it can never overflow.
+    if plan is not None:
+        from ..ops.pallas.monopull import spmv_monoid
+
+        yf = spmv_monoid(plan, gp.astype(jnp.float32),
+                         MinimumSelectSecondSemiring)
+        mnp_t = jnp.where(yf >= jnp.float32(n),
+                          IMAX,
+                          jnp.minimum(yf, jnp.float32(n)).astype(jnp.int32))
+    else:
+        mnp_t = spmv_pull(A.row_ptr, A.col_ind, A.val, gp,
+                          MinimumSelectSecondSemiring, n)
     mnp = jnp.minimum(mnp, mnp_t)
     # f[f[u]] = mngf[u] — min-combining scatter (see module docstring)
     parent = parent.at[parent_temp].min(mnp, mode="drop")
@@ -63,7 +76,7 @@ def _cc_step(A: Matrix, parent, mnp, gp, gp_t):
 
 
 @functools.partial(jax.jit, static_argnames=("max_niter",))
-def _cc_fused(A: Matrix, *, max_niter):
+def _cc_fused(A: Matrix, plan=None, *, max_niter):
     n = A.nrows
     parent0 = jnp.arange(n, dtype=jnp.int32)  # fillAscending (cc.hpp:44)
 
@@ -73,7 +86,8 @@ def _cc_fused(A: Matrix, *, max_niter):
 
     def body(state):
         it, parent, mnp, gp, gp_t, _ = state
-        parent, mnp, gp, gp_t, succ = _cc_step(A, parent, mnp, gp, gp_t)
+        parent, mnp, gp, gp_t, succ = _cc_step(A, parent, mnp, gp, gp_t,
+                                                plan)
         return it + 1, parent, mnp, gp, gp_t, succ
 
     st = (jnp.asarray(1, INDEX_DTYPE), parent0, parent0, parent0, parent0,
@@ -88,11 +102,23 @@ _cc_step_jit = jax.jit(_cc_step)
 def cc(A: Matrix, seed: int = 0, desc: Descriptor = DEFAULT,
        mode: str = "fused") -> Vector:
     """Component labels (min vertex id per component, like FastSV)."""
+    import os
+
     n = A.nrows
+    # Pallas monoid pull (CSR orientation — mxv): TPU-only by default
+    # (interpret emulation is seconds/iter), id-exactness needs n < 2^24.
+    # Built from the ORIGINAL matrix: _as_int_matrix's dataclasses.replace
+    # drops the host stash, and select-second never reads edge values.
+    from ..ops.pallas.monopull import plan_for_monoid
+
+    use_plan = (n < (1 << 24)
+                and (jax.default_backend() == "tpu"
+                     or os.environ.get("GRB_MONOID_PULL_FORCE", "0") == "1"))
+    plan = plan_for_monoid(A, transpose=False) if use_plan else None
     if A.dtype != jnp.int32:
         A = _as_int_matrix(A)
     if mode == "fused":
-        parent, _ = _cc_fused(A, max_niter=desc.max_niter)
+        parent, _ = _cc_fused(A, plan, max_niter=desc.max_niter)
         return dense_result(n, parent)
 
     timer = TightTimer()
@@ -100,7 +126,8 @@ def cc(A: Matrix, seed: int = 0, desc: Descriptor = DEFAULT,
     mnp = gp = gp_t = parent
     for it in range(1, desc.max_niter + 1):
         timer.start()
-        parent, mnp, gp, gp_t, succ_t = _cc_step_jit(A, parent, mnp, gp, gp_t)
+        parent, mnp, gp, gp_t, succ_t = _cc_step_jit(A, parent, mnp, gp,
+                                                     gp_t, plan)
         ms = timer.stop(parent)
         succ = int(succ_t)
         print_iter_row(it, succ, n, n, False, ms, desc.timing)

@@ -88,3 +88,18 @@ def test_sssp_monoid_pull_parity(chesapeake, monkeypatch):
     monkeypatch.delenv("GRB_MONOID_PULL_FORCE")
     base = sssp(chesapeake, 3, desc=desc).to_numpy()
     np.testing.assert_array_equal(got, base)
+
+
+def test_cc_monoid_pull_parity(chesapeake, test_cc, monkeypatch):
+    """CC with the Pallas monoid pull forced must produce the same labels
+    as the planless run and satisfy the property verifier (parent ids are
+    f32-exact below 2^24; the IMAX sentinel maps to >= n both ways)."""
+    from graphblast_tpu.algorithms.cc import cc, verify_cc
+
+    for A in (chesapeake, test_cc):
+        base = cc(A).to_numpy()
+        monkeypatch.setenv("GRB_MONOID_PULL_FORCE", "1")
+        got = cc(A).to_numpy()
+        monkeypatch.delenv("GRB_MONOID_PULL_FORCE")
+        np.testing.assert_array_equal(got, base)
+        assert verify_cc(A, got)
