@@ -431,17 +431,20 @@ def spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
     interpret defaults to True off-TPU so the same call sites work (slowly)
     under the CPU test backend. matmul ∈ {highest, hilo} and sweep ∈
     {fori, unroll} select the scatter-precision / window-sweep variants
-    (env GRB_BILINEAR_MATMUL / GRB_BILINEAR_SWEEP; the sweep default is the
-    hardware-proven 'unroll' — the chi-pruned 'fori' variant is expected
-    faster but was never Mosaic-lowered on a real chip while the relay was
-    down; bench.py's selfcheck times both and pins the winner,
-    tools/tpu_bilinear_test.py sweeps all variants). An F32DmaPlan (built by
-    plan_for above the VMEM-residency limit) routes to the windowed-DMA
-    kernel transparently."""
+    (env GRB_BILINEAR_MATMUL / GRB_BILINEAR_SWEEP). Hardware-measured
+    rmat18 (TPU v5 lite, 2026-08-19, tools/tpu_bilinear_test.py):
+    unroll:hilo:pack2 1.20 ms (77.6 GB/s, rel err 2.3e-6) beats
+    unroll:highest 4.74 ms (19.7 GB/s, 2.5e-7) — hilo's two bf16 passes
+    run ~3x faster than HIGHEST's multi-pass f32 decomposition and stay
+    ~500x inside the reference's 1e-3 bar, so hilo is the default; the
+    chi-pruned 'fori' sweep measured 3.7x SLOWER than 'unroll' at scale 18
+    (17.4 ms) and stays opt-in. An F32DmaPlan (built by plan_for above the
+    VMEM-residency limit) routes to the windowed-DMA kernel
+    transparently."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if matmul is None:
-        matmul = os.environ.get("GRB_BILINEAR_MATMUL", "highest").lower()
+        matmul = os.environ.get("GRB_BILINEAR_MATMUL", "hilo").lower()
     if isinstance(plan, F32DmaPlan):
         return _spmv_bilinear_dma(plan, x, interpret, matmul)
     if sweep is None:
@@ -888,7 +891,10 @@ def plan_for(A, transpose: bool = False,
     host = getattr(A, "_host_csc" if transpose else "_host_csr", None)
     if host is None:
         return None
-    pack = int(os.environ.get("GRB_BILINEAR_PACK", "1"))
+    # pack=2 default: pairing edges that share (tile, output lane) cut the
+    # one-hot MXU columns 1.71x at rmat18 and measured 1.63x end-to-end
+    # (1.96 → 1.20 ms with hilo, tools/tpu_bilinear_test.py 2026-08-19)
+    pack = int(os.environ.get("GRB_BILINEAR_PACK", "2"))
     cache = getattr(A, "_bilinear_plans", None)
     key = (("csc" if transpose else "csr") + ("/ones" if ones else "")
            + (f"/pack{pack}" if pack != 1 else "")
@@ -1211,7 +1217,7 @@ def spmv_bilinear_dma(plan: F32DmaPlan, x: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if matmul is None:
-        matmul = os.environ.get("GRB_BILINEAR_MATMUL", "highest").lower()
+        matmul = os.environ.get("GRB_BILINEAR_MATMUL", "hilo").lower()
     return _spmv_bilinear_dma(plan, x, interpret, matmul)
 
 
