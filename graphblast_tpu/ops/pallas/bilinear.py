@@ -265,9 +265,43 @@ def _build_plan_packed(rows, cols, vals, tile, n_cb, n_out, n_in,
                         loc2=jnp.asarray(loc_b), val2=jnp.asarray(val_b))
 
 
+def _bank_sweep(row_fn, pairs, smin, smax, scratch_refs, n_rows: int,
+                bank: int = 8):
+    """Range-pruned window sweep at bank granularity: statically-unrolled
+    8-row banks, each guarded by a scalar pl.when on the sub-block's
+    [smin, smax] chi range. The idea sat between the two r2/r3 variants
+    ('unroll' pays all n_rows passes; dynamic-bound 'fori' measured ~12x
+    slower), but hardware-measured 2026-08-19 (tools/tpu_sweep_cmp.py,
+    bitmap kernel, rmat18) it LOSES: 1.70 ms/iter vs unroll's 1.04, and
+    the ~64 pl.when regions per chunk body blew the remote Mosaic compile
+    to 1410 s vs 11 s. Predicated regions apparently break the pipelining
+    that makes the straight-line unroll fast. Kept as an opt-in variant
+    (GRB_*_SWEEP=bank) so the measurement is reproducible; 'unroll' stays
+    the default everywhere.
+
+    pairs: [(chi, clo), ...] query streams; scratch_refs: matching VMEM
+    refs carrying the gather accumulator across pl.when regions (pl.when
+    bodies cannot return values). Returns the gathered arrays."""
+    for ref in scratch_refs:
+        ref[:] = jnp.zeros(ref.shape, ref.dtype)
+    for b0 in range(0, n_rows, bank):
+        @pl.when((smax >= b0) & (smin < b0 + bank))
+        def _(b0=b0):
+            accs = [ref[:] for ref in scratch_refs]
+            for s in range(b0, b0 + bank):
+                row = row_fn(s)
+                for i, (chi, clo) in enumerate(pairs):
+                    cand = jnp.take_along_axis(
+                        jnp.broadcast_to(row, clo.shape), clo, axis=1)
+                    accs[i] = jnp.where(chi == s, cand, accs[i])
+            for ref, acc in zip(scratch_refs, accs):
+                ref[:] = acc
+    return [ref[:] for ref in scratch_refs]
+
+
 def _kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
-            x_ref, loc_ref, val_ref, y_ref, *, matmul: str = "highest",
-            sweep: str = "fori"):
+            x_ref, loc_ref, val_ref, y_ref, xg_ref, *,
+            matmul: str = "highest", sweep: str = "fori"):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -298,6 +332,10 @@ def _kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
             xg = jax.lax.fori_loop(smin_ref[base], smax_ref[base] + 1,
                                    _sweep_step,
                                    jnp.zeros(clo.shape, y_ref.dtype))
+        elif sweep == "bank":
+            xg, = _bank_sweep(lambda s: x_ref[pl.ds(c0 + s, 1), :],
+                              [(chi, clo)], smin_ref[base], smax_ref[base],
+                              [xg_ref], W_ROWS)
         else:
             # full python-unrolled sweep (r2 behavior): no loop-counter
             # overhead, always W_ROWS passes
@@ -345,7 +383,8 @@ def _kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
 
 
 def _kernel_packed(c_off_ref, r_off_ref, smin_ref, smax_ref, x_ref,
-                   loca_ref, vala_ref, locb_ref, valb_ref, y_ref, *,
+                   loca_ref, vala_ref, locb_ref, valb_ref, y_ref,
+                   xga_ref, xgb_ref, *,
                    matmul: str = "highest", sweep: str = "fori"):
     """pack=2 variant of _kernel: each lane-column carries TWO edges that
     share the output lane (build_plan pack=2), so one A accumulates both
@@ -385,6 +424,11 @@ def _kernel_packed(c_off_ref, r_off_ref, smin_ref, smax_ref, x_ref,
         if sweep == "fori":
             xga, xgb = jax.lax.fori_loop(smin_ref[base], smax_ref[base] + 1,
                                          _sweep_step, (zero, zero))
+        elif sweep == "bank":
+            xga, xgb = _bank_sweep(
+                lambda s: x_ref[pl.ds(c0 + s, 1), :],
+                [(chia, cloa), (chib, clob)],
+                smin_ref[base], smax_ref[base], [xga_ref, xgb_ref], W_ROWS)
         else:
             xga, xgb = zero, zero
             for s in range(W_ROWS):
@@ -446,7 +490,9 @@ def spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
     if matmul is None:
         matmul = os.environ.get("GRB_BILINEAR_MATMUL", "hilo").lower()
     if isinstance(plan, F32DmaPlan):
-        return _spmv_bilinear_dma(plan, x, interpret, matmul)
+        return _spmv_bilinear_dma(
+            plan, x, interpret, matmul,
+            (sweep or os.environ.get("GRB_BILINEAR_SWEEP", "fori")).lower())
     if sweep is None:
         sweep = os.environ.get("GRB_BILINEAR_SWEEP", "unroll").lower()
     return _spmv_bilinear(plan, x, interpret, matmul, sweep)
@@ -474,6 +520,10 @@ def _spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
         out_specs=pl.BlockSpec((n_out_pad // LANE, LANE),
                                lambda c, *_: (0, 0),
                                memory_space=pltpu.VMEM),
+        # gather accumulators for the bank sweep (pl.when regions cannot
+        # return values); dead weight (8x128 f32 each) for other sweeps
+        scratch_shapes=[pltpu.VMEM((SUB_ROWS, LANE), jnp.float32)]
+        * (2 if packed else 1),
     )
     kern = _kernel_packed if packed else _kernel
     operands = (plan.loc.reshape(-1, LANE), plan.val.reshape(-1, LANE))
@@ -542,6 +592,10 @@ class BitmapPlan:
     visited: jnp.ndarray     # (n_out_pad//128,) 1.0 iff the row's panel has
     #                          edges — panels the grid never visits hold
     #                          undefined output memory and must be zeroed
+    swrow: jnp.ndarray       # (n_chunks, 128) absolute window word-row per
+    #                          128-lane edge row (runs are lane-row aligned);
+    #                          DMA'd into SMEM per chunk for the 'aligned'
+    #                          sweep
 
     dma_cblk: bool = False   # True → c_blk is (n_chunks,128) rows DMA'd
     #                          from HBM per chunk; False → flat (nsb,)
@@ -554,7 +608,7 @@ class BitmapPlan:
     #                          row_loc + valid<<30 caps the int32 pack.
 
     def tree_flatten(self):
-        return ((self.loc, self.c_blk, self.rp, self.visited),
+        return ((self.loc, self.c_blk, self.rp, self.visited, self.swrow),
                 (self.n_out, self.n_in, self.n_out_pad, self.n_wrows,
                  self.m_pad, self.dma_cblk, self.wp_bits))
 
@@ -589,7 +643,8 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int,
             jnp.zeros((chunk,), jnp.int32),
             jnp.zeros((chunk // SUBB,), jnp.int32),
             jnp.zeros((nch,), jnp.int32),
-            jnp.zeros((n_out_pad // LANE,), jnp.float32), dma_cblk=False,
+            jnp.zeros((n_out_pad // LANE,), jnp.float32),
+            jnp.zeros((nch, LANE), jnp.int32), dma_cblk=False,
             wp_bits=wp_bits)
 
     rows = np.repeat(np.arange(n_out, dtype=np.int64), np.diff(ptr_np))
@@ -604,11 +659,28 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int,
     chi_all = ((cols & (WB - 1)) >> 12).astype(np.int32)
     order = np.lexsort((chi_all, tile))
     t_sorted = tile[order]
+    chi_sorted = chi_all[order]
+
+    # run-level 128-lane padding: every (tile, chi) run starts on a lane-row
+    # boundary, so each 128-lane row of the edge stream reads exactly ONE
+    # window word-row — the 'aligned' sweep then replaces the 32-pass
+    # window sweep with SUBB_ROWS row copies + one take_along_axis. Cost:
+    # ≤ 127 pad slots per run; bitmap tiles are 131072 columns wide (~128
+    # tiles at rmat18), so runs are long and the overhead is small.
+    runkey = t_sorted * 32 + chi_sorted
+    run_head = np.r_[True, runkey[1:] != runkey[:-1]]
+    run_starts = np.flatnonzero(run_head)
+    run_counts = np.diff(np.r_[run_starts, m])
+    run_pad = ((run_counts + LANE - 1) // LANE) * LANE
+    rt_head = np.r_[True, t_sorted[run_starts][1:]
+                    != t_sorted[run_starts][:-1]]
+    rt_group = np.cumsum(rt_head) - 1            # run → tile ordinal
 
     head = np.r_[True, t_sorted[1:] != t_sorted[:-1]]
     starts = np.flatnonzero(head)
     counts = np.diff(np.r_[starts, m])
-    padded = ((counts + SUBB - 1) // SUBB) * SUBB
+    tile_tot = np.bincount(rt_group, weights=run_pad).astype(np.int64)
+    padded = ((tile_tot + SUBB - 1) // SUBB) * SUBB
 
     # additionally pad each ROW PANEL's stream to a chunk multiple so every
     # chunk maps to exactly one output panel
@@ -626,13 +698,33 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int,
     total = int(rp_base[-1])
     m_pad = max(total, chunk)
 
-    within = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
-    pos = np.repeat(tile_out.astype(np.int64), counts) + within
+    # run start offsets inside each tile's padded stream (vectorized
+    # grouped exclusive cumsum — a per-tile python loop is O(tiles·runs),
+    # fatal at scale 24's ~260K tiles), then per-edge slots
+    ex = np.cumsum(run_pad) - run_pad
+    tile_first = np.repeat(ex[np.flatnonzero(rt_head)],
+                           np.bincount(rt_group))
+    run_within_tile = ex - tile_first
+    run_out = (tile_out[rt_group] + run_within_tile).astype(np.int64)
+    within_run = np.arange(m, dtype=np.int64) - np.repeat(run_starts,
+                                                          run_counts)
+    pos = np.repeat(run_out, run_counts) + within_run
 
     r_loc = (rows[order] & (Wp - 1)).astype(np.int32)
     c_loc = (cols[order] & (WB - 1)).astype(np.int32)
     loc = np.zeros(m_pad, np.int32)
     loc[pos] = (1 << 30) | (r_loc << WB_BITS) | c_loc
+
+    # per-lane-row absolute window word-row (the 'aligned' sweep feed),
+    # shaped (n_chunks, 128): one 512 B row DMA'd into SMEM per chunk
+    nlr_run = (run_pad // LANE).astype(np.int64)
+    lrow_pos = (np.repeat(run_out // LANE, nlr_run)
+                + np.concatenate([np.arange(k) for k in nlr_run])
+                if len(nlr_run) else np.zeros(0, np.int64))
+    abs_row = ((t_sorted[run_starts] % n_cb) * (WB // 32 // LANE)
+               + chi_sorted[run_starts]).astype(np.int32)
+    swrow = np.zeros(m_pad // LANE, np.int32)
+    swrow[lrow_pos.astype(np.int64)] = np.repeat(abs_row, nlr_run)
 
     # per-sub-block window offsets + sweep bounds, packed into one int32
     # per sub-block — (word_row_offset << 10) | (smin << 5) | smax — so
@@ -680,8 +772,9 @@ def build_plan_bitmap(ptr, ind, n_out: int, n_in: int,
     return BitmapPlan(n_out, n_in, n_out_pad, n_wrows, m_pad,
                       jnp.asarray(loc), jnp.asarray(c_blk),
                       jnp.asarray(rp_c, jnp.int32).reshape(-1),
-                      jnp.asarray(visited), dma_cblk=dma_cblk,
-                      wp_bits=wp_bits)
+                      jnp.asarray(visited),
+                      jnp.asarray(swrow.reshape(n_chunks, LANE)),
+                      dma_cblk=dma_cblk, wp_bits=wp_bits)
 
 
 def pad_bitmap_plan(plan: BitmapPlan, m_pad_target: int) -> BitmapPlan:
@@ -707,19 +800,30 @@ def pad_bitmap_plan(plan: BitmapPlan, m_pad_target: int) -> BitmapPlan:
     else:
         c_blk = jnp.concatenate(
             [plan.c_blk, jnp.zeros((extra // SUBB,), jnp.int32)])
+    swrow = jnp.concatenate(
+        [plan.swrow, jnp.zeros((n_extra_chunks, LANE), jnp.int32)])
     return BitmapPlan(plan.n_out, plan.n_in, plan.n_out_pad, plan.n_wrows,
-                      m_pad_target, loc, c_blk, rp, plan.visited,
+                      m_pad_target, loc, c_blk, rp, plan.visited, swrow,
                       dma_cblk=plan.dma_cblk, wp_bits=plan.wp_bits)
 
 
-def _kernel_bitmap_dma(rp_ref, cblk_hbm, w_ref, loc_ref, y_ref, cb_smem,
-                       sem, *, wp_rows: int = W_ROWS, sweep: str = "fori"):
+def _kernel_bitmap_dma(rp_ref, cblk_hbm, w_ref, loc_ref, swrow_hbm, y_ref,
+                       cb_smem, sem, wg_ref, sw_smem, sem_sw, *,
+                       wp_rows: int = W_ROWS, sweep: str = "fori",
+                       interp: bool = False):
     c = pl.program_id(0)
     # this chunk's 8 window offsets: tiny HBM→SMEM DMA (the full per-sub-
     # block array is ~1 MB of int32 at scale 24 — over the SMEM budget as
     # a scalar-prefetch operand)
     copy = pltpu.make_async_copy(cblk_hbm.at[c], cb_smem, sem)
     copy.start()
+    # interpret mode reads the ANY-space operand directly — the emulated
+    # HBM→SMEM scalar DMA segfaulted flakily under the full test suite
+    sw_of = lambda i: swrow_hbm[c, i]
+    if sweep == "aligned" and not interp:
+        sw_cp = pltpu.make_async_copy(swrow_hbm.at[c], sw_smem, sem_sw)
+        sw_cp.start()
+        sw_of = lambda i: sw_smem[i]
 
     first = jnp.logical_or(c == 0, rp_ref[c] != rp_ref[jnp.maximum(c - 1, 0)])
 
@@ -728,25 +832,37 @@ def _kernel_bitmap_dma(rp_ref, cblk_hbm, w_ref, loc_ref, y_ref, cb_smem,
         y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
 
     copy.wait()
+    if sweep == "aligned" and not interp:
+        sw_cp.wait()
     _bitmap_chunk_body(lambda sb: cb_smem[sb], c, w_ref, loc_ref, y_ref,
-                       wp_rows, sweep)
+                       wg_ref, sw_of, wp_rows, sweep)
 
 
-def _kernel_bitmap_prefetch(cblk_ref, rp_ref, w_ref, loc_ref, y_ref, *,
-                            wp_rows: int = W_ROWS, sweep: str = "fori"):
+def _kernel_bitmap_prefetch(cblk_ref, rp_ref, w_ref, loc_ref, swrow_hbm,
+                            y_ref, wg_ref, sw_smem, sem_sw, *,
+                            wp_rows: int = W_ROWS, sweep: str = "fori",
+                            interp: bool = False):
     c = pl.program_id(0)
+    sw_of = lambda i: swrow_hbm[c, i]
+    if sweep == "aligned" and not interp:
+        # per-lane-row window rows for this chunk: one 512 B HBM→SMEM DMA
+        sw_cp = pltpu.make_async_copy(swrow_hbm.at[c], sw_smem, sem_sw)
+        sw_cp.start()
+        sw_of = lambda i: sw_smem[i]
     first = jnp.logical_or(c == 0, rp_ref[c] != rp_ref[jnp.maximum(c - 1, 0)])
 
     @pl.when(first)
     def _():
         y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
 
+    if sweep == "aligned" and not interp:
+        sw_cp.wait()
     _bitmap_chunk_body(lambda sb: cblk_ref[c * CHUNKB_SUBS + sb], c, w_ref,
-                       loc_ref, y_ref, wp_rows, sweep)
+                       loc_ref, y_ref, wg_ref, sw_of, wp_rows, sweep)
 
 
-def _bitmap_chunk_body(c0_of, c, w_ref, loc_ref, y_ref, wp_rows,
-                       sweep: str = "fori"):
+def _bitmap_chunk_body(c0_of, c, w_ref, loc_ref, y_ref, wg_ref, sw_of,
+                       wp_rows, sweep: str = "fori"):
     for sb in range(CHUNKB_SUBS):
         packed = c0_of(sb)           # (offset << 10) | (smin << 5) | smax
         c0 = packed >> 10
@@ -769,6 +885,19 @@ def _bitmap_chunk_body(c0_of, c, w_ref, loc_ref, y_ref, wp_rows,
             wg = jax.lax.fori_loop((packed >> 5) & 31, (packed & 31) + 1,
                                    _sweep_step,
                                    jnp.zeros(cl.shape, jnp.int32))
+        elif sweep == "bank":
+            wg, = _bank_sweep(lambda s: w_ref[pl.ds(c0 + s, 1), :],
+                              [(whi, wlo)], (packed >> 5) & 31, packed & 31,
+                              [wg_ref], 32)
+        elif sweep == "aligned":
+            # runs are lane-row aligned (build_plan_bitmap run padding):
+            # copy each query row's single window row into scratch, then
+            # gather all SUBB queries with ONE take_along_axis — replaces
+            # the 32-pass sweep with SUBB_ROWS row copies + one shuffle
+            for s in range(SUBB_ROWS):
+                wg_ref[pl.ds(s, 1), :] = w_ref[
+                    pl.ds(sw_of(sb * SUBB_ROWS + s), 1), :]
+            wg = jnp.take_along_axis(wg_ref[:], wlo, axis=1)
         else:
             wg = jnp.zeros(cl.shape, jnp.int32)
             for s in range(32):
@@ -806,7 +935,14 @@ def spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if sweep is None:
-        sweep = os.environ.get("GRB_BILINEAR_SWEEP", "unroll").lower()
+        # per-kernel knob only: r3's bench pinned a shared knob from a
+        # bitmap timing and accidentally forced the VALUE kernel onto the
+        # 3.7x-slower fori sweep (77.6 -> 5.3 GB/s) — never couple them.
+        # Default 'aligned' (hardware-measured 2026-08-19, rmat18:
+        # 0.86 ms/iter vs 1.01 unroll / 1.70 bank; run padding +10.4% vs
+        # +7.9% — the lane-row-aligned runs turn the 32-pass window sweep
+        # into 16 row copies + one take_along_axis).
+        sweep = os.environ.get("GRB_BITMAP_SWEEP", "aligned").lower()
     return _spmv_bilinear_bitmap(plan, words, interpret, sweep)
 
 
@@ -831,20 +967,25 @@ def _spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # bitmap table
                 pl.BlockSpec((chunk_rows, LANE), lambda c, rp: (c, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # swrow stays in HBM
             ],
             out_specs=pl.BlockSpec((wp_rows, LANE),
                                    lambda c, rp: (rp[c], 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.SMEM((LANE,), jnp.int32),
+                            pltpu.SemaphoreType.DMA(()),
+                            pltpu.VMEM((SUBB_ROWS, LANE), jnp.int32),
+                            pltpu.SMEM((LANE,), jnp.int32),
                             pltpu.SemaphoreType.DMA(())],
         )
         y2d = pl.pallas_call(
-            functools.partial(_kernel_bitmap_dma, wp_rows=wp_rows, sweep=sweep),
+            functools.partial(_kernel_bitmap_dma, wp_rows=wp_rows,
+                              sweep=sweep, interp=interpret),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
                                            jnp.int32),
             interpret=interpret,
-        )(plan.rp, plan.c_blk, w2d, plan.loc.reshape(-1, LANE))
+        )(plan.rp, plan.c_blk, w2d, plan.loc.reshape(-1, LANE), plan.swrow)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -853,18 +994,23 @@ def _spmv_bilinear_bitmap(plan: BitmapPlan, words: jnp.ndarray,
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # bitmap table
                 pl.BlockSpec((chunk_rows, LANE), lambda c, cb, rp: (c, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # swrow stays in HBM
             ],
             out_specs=pl.BlockSpec((wp_rows, LANE),
                                    lambda c, cb, rp: (rp[c], 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((SUBB_ROWS, LANE), jnp.int32),
+                            pltpu.SMEM((LANE,), jnp.int32),
+                            pltpu.SemaphoreType.DMA(())],
         )
         y2d = pl.pallas_call(
-            functools.partial(_kernel_bitmap_prefetch, wp_rows=wp_rows, sweep=sweep),
+            functools.partial(_kernel_bitmap_prefetch, wp_rows=wp_rows,
+                              sweep=sweep, interp=interpret),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
                                            jnp.int32),
             interpret=interpret,
-        )(plan.c_blk, plan.rp, w2d, plan.loc.reshape(-1, LANE))
+        )(plan.c_blk, plan.rp, w2d, plan.loc.reshape(-1, LANE), plan.swrow)
     # unvisited panels hold garbage (where, not multiply)
     y2d = jnp.where(plan.visited[:, None] > 0, y2d, 0)
     return y2d.reshape(-1)[:plan.n_out]
@@ -1130,8 +1276,9 @@ def pad_f32dma_plan(plan: F32DmaPlan, m_pad_target: int) -> F32DmaPlan:
 
 
 def _kernel_f32_dma(rp_ref, meta_hbm, x_hbm, loc_ref, val_ref, y_ref,
-                    meta_smem, prev_smem, xw, sem_m, sem_x, *,
-                    wr_bits: int, wc_bits: int, matmul: str = "highest"):
+                    meta_smem, prev_smem, xw, sem_m, sem_x, xg_ref, *,
+                    wr_bits: int, wc_bits: int, matmul: str = "highest",
+                    sweep: str = "fori"):
     c = pl.program_id(0)
     wr_rows = (1 << wr_bits) // LANE
     wc_rows = (1 << wc_bits) // LANE
@@ -1179,9 +1326,16 @@ def _kernel_f32_dma(rp_ref, meta_hbm, x_hbm, loc_ref, val_ref, y_ref,
                 jnp.broadcast_to(row, clo.shape), clo, axis=1)
             return jnp.where(chi == s, cand, xg)
 
-        xg = jax.lax.fori_loop(meta_smem[CHUNK_SUBS + sb],
-                               meta_smem[2 * CHUNK_SUBS + sb] + 1,
-                               _sweep_step, jnp.zeros(clo.shape, y_ref.dtype))
+        if sweep == "bank":
+            xg, = _bank_sweep(lambda s: xw[pl.ds(s, 1), :], [(chi, clo)],
+                              meta_smem[CHUNK_SUBS + sb],
+                              meta_smem[2 * CHUNK_SUBS + sb],
+                              [xg_ref], (1 << wc_bits) // LANE)
+        else:
+            xg = jax.lax.fori_loop(meta_smem[CHUNK_SUBS + sb],
+                                   meta_smem[2 * CHUNK_SUBS + sb] + 1,
+                                   _sweep_step,
+                                   jnp.zeros(clo.shape, y_ref.dtype))
         p = xg * vv
 
         rl = lv >> wc_bits
@@ -1211,20 +1365,25 @@ def _kernel_f32_dma(rp_ref, meta_hbm, x_hbm, loc_ref, val_ref, y_ref,
 
 def spmv_bilinear_dma(plan: F32DmaPlan, x: jnp.ndarray,
                       interpret: Optional[bool] = None,
-                      matmul: Optional[str] = None) -> jnp.ndarray:
+                      matmul: Optional[str] = None,
+                      sweep: Optional[str] = None) -> jnp.ndarray:
     """Plus-monoid value SpMV at any scale (x windows DMA'd per tile,
     y streamed per panel)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if matmul is None:
         matmul = os.environ.get("GRB_BILINEAR_MATMUL", "hilo").lower()
-    return _spmv_bilinear_dma(plan, x, interpret, matmul)
+    if sweep is None:
+        sweep = os.environ.get("GRB_BILINEAR_SWEEP", "fori").lower()
+    return _spmv_bilinear_dma(plan, x, interpret, matmul, sweep)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "matmul"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "matmul", "sweep"))
 def _spmv_bilinear_dma(plan: F32DmaPlan, x: jnp.ndarray,
                        interpret: bool = False,
-                       matmul: str = "highest") -> jnp.ndarray:
+                       matmul: str = "highest",
+                       sweep: str = "fori") -> jnp.ndarray:
     x_p = jnp.pad(x.astype(jnp.float32),
                   (0, plan.n_xrows * LANE - x.shape[0]))
     x2d = x_p.reshape(plan.n_xrows, LANE)
@@ -1251,11 +1410,12 @@ def _spmv_bilinear_dma(plan: F32DmaPlan, x: jnp.ndarray,
                         pltpu.SMEM((1,), jnp.int32),
                         pltpu.VMEM((wc_rows, LANE), jnp.float32),
                         pltpu.SemaphoreType.DMA(()),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.VMEM((SUB_ROWS, LANE), jnp.float32)],
     )
     y2d = pl.pallas_call(
         functools.partial(_kernel_f32_dma, wr_bits=plan.wr_bits,
-                          wc_bits=plan.wc_bits, matmul=matmul),
+                          wc_bits=plan.wc_bits, matmul=matmul, sweep=sweep),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.n_out_pad // LANE, LANE),
                                        jnp.float32),

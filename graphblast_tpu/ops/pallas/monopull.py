@@ -58,6 +58,8 @@ PAD_LOC = W << W_BITS          # pad-lane marker: row id W (=4096) can never
 # ⊕ monoids and ⊗ ops the kernel specializes over (trace-time strings —
 # the semiring catalog maps onto these in spmv_monoid)
 MONO_ADD = {"min": jnp.minimum, "max": jnp.maximum}
+_BF16_MAX = 3.3895313892515355e38   # largest finite bfloat16
+_SAT_THRESH = 3.3e38                # |select| past this = saturated sentinel
 MONO_MUL = {
     "plus": lambda a, x: a + x,
     "mul": lambda a, x: a * x,
@@ -168,8 +170,9 @@ def build_plan_monoid(ptr, ind, val, n_out: int, n_in: int) -> MonoidPlan:
 
 
 def _mono_kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
-                 x_ref, loc_ref, val_ref, y_ref, *,
-                 add: str, mul: str, ident: float, sweep: str):
+                 x_ref, loc_ref, val_ref, y_ref, xg_ref, *,
+                 add: str, mul: str, ident: float, sweep: str,
+                 matmul: str = "highest", scan: str = "flat"):
     op = MONO_ADD[add]
     times = MONO_MUL[mul]
     c = pl.program_id(0)
@@ -199,6 +202,12 @@ def _mono_kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
             xg = jax.lax.fori_loop(smin_ref[base], smax_ref[base] + 1,
                                    _sweep_step,
                                    jnp.zeros(clo.shape, y_ref.dtype))
+        elif sweep == "bank":
+            from .bilinear import _bank_sweep
+
+            xg, = _bank_sweep(lambda s: x_ref[pl.ds(c0 + s, 1), :],
+                              [(chi, clo)], smin_ref[base], smax_ref[base],
+                              [xg_ref], W_ROWS)
         else:
             xg = jnp.zeros(clo.shape, y_ref.dtype)
             for s in range(W_ROWS):
@@ -210,27 +219,96 @@ def _mono_kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
         # inf into NaN. Saturation is the sentinel semantics anyway; the
         # extra toward-identity clamp is free (a value past the identity
         # can never beat it under ⊕).
-        maxf = float(np.finfo(np.float32).max)
-        p = jnp.clip(times(vv, xg), -maxf, maxf)
-        p = jnp.minimum(p, ident) if add == "min" else jnp.maximum(p, ident)
+        # hilo clamps to the bf16-representable range instead of FLT_MAX:
+        # casting f32 max to bf16 rounds to inf and poisons the A_lo
+        # residual; saturated selects are mapped back to the identity after
+        # the matmul (the sentinel semantics either way)
+        satf = (_BF16_MAX if matmul == "hilo"
+                else float(np.finfo(np.float32).max))
+        p = jnp.clip(times(vv, xg), -satf, satf)
+        p = jnp.minimum(p, satf if ident > _SAT_THRESH else ident) \
+            if add == "min" else jnp.maximum(p, max(-satf, ident))
 
-        # run-scan over the flattened 1024 lanes: rows are contiguous
-        # (build lexsort), so each row is ONE run; its ⊕-total lands on the
-        # run's tail lane. Pad lanes carry row id W — their own run.
-        rl = (lv >> W_BITS).reshape(1, SUB)
-        pf = p.reshape(1, SUB)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, SUB), 1)
-        k = 1
-        while k < SUB:
-            ps = pltpu.roll(pf, shift=k, axis=1)
-            rs = pltpu.roll(rl, shift=k, axis=1)
-            ok = (lane >= k) & (rs == rl)
-            pf = jnp.where(ok, op(pf, ps), pf)
-            k *= 2
-        # tail detect via a positive roll (shift SUB-1 ≡ -1 mod SUB; Mosaic
-        # rolls are rotations)
-        nxt = pltpu.roll(rl, shift=SUB - 1, axis=1)
-        tail = (lane == SUB - 1) | (nxt != rl)
+        # run-scan: rows are contiguous (build lexsort), so each row is ONE
+        # run; its ⊕-total lands on the run's tail lane. Pad lanes carry
+        # row id W — their own run.
+        if scan == "flat":
+            # r3 formulation: Hillis-Steele over the flattened 1024 lanes —
+            # 10 steps of large cross-vreg lane rotations
+            rl = (lv >> W_BITS).reshape(1, SUB)
+            pf = p.reshape(1, SUB)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, SUB), 1)
+            k = 1
+            while k < SUB:
+                ps = pltpu.roll(pf, shift=k, axis=1)
+                rs = pltpu.roll(rl, shift=k, axis=1)
+                ok = (lane >= k) & (rs == rl)
+                pf = jnp.where(ok, op(pf, ps), pf)
+                k *= 2
+            # tail detect via a positive roll (shift SUB-1 ≡ -1 mod SUB;
+            # Mosaic rolls are rotations)
+            nxt = pltpu.roll(rl, shift=SUB - 1, axis=1)
+            tail = (lane == SUB - 1) | (nxt != rl)
+        else:
+            # '2d': segmented scan on the NATIVE (SUB_ROWS, 128) layout —
+            # 7 intra-row steps (single-vreg lane rotations) + a 3-step
+            # carry scan over the 8 row tails; replaces the flat variant's
+            # 10 large rotations (each touching all 8 vregs)
+            rl2 = lv >> W_BITS
+            p2 = p
+            lane = jax.lax.broadcasted_iota(jnp.int32, (SUB_ROWS, LANE), 1)
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (SUB_ROWS, LANE), 0)
+            k = 1
+            while k < LANE:
+                ps = pltpu.roll(p2, shift=k, axis=1)
+                rs = pltpu.roll(rl2, shift=k, axis=1)
+                ok = (lane >= k) & (rs == rl2)
+                p2 = jnp.where(ok, op(p2, ps), p2)
+                k *= 2
+            # carry scan over row tails — full-width (SUB_ROWS, 128)
+            # arrays (lane-broadcast of the lane-127 column) so every op
+            # stays in the native vreg layout; a run crossing sublane rows
+            # continues at the next row's lane 0, and row ids ascend, so
+            # equality with the previous row's tail id selects exactly the
+            # leading fragment
+            lane_last = jnp.broadcast_to(
+                jax.lax.broadcasted_iota(jnp.int32, rl2.shape, 1)
+                == LANE - 1, rl2.shape)
+            # lane-127 value broadcast to all lanes via a 7-step max-style
+            # fill: roll+select doubling (avoids (8,1) slicing layouts)
+            lastv = jnp.where(lane_last, p2, jnp.zeros_like(p2))
+            lastr = jnp.where(lane_last, rl2, jnp.full_like(rl2, -1))
+            k = 1
+            while k < LANE:
+                lastv = jnp.where(lastr >= 0, lastv,
+                                  pltpu.roll(lastv, shift=LANE - k, axis=1))
+                lastr = jnp.where(lastr >= 0, lastr,
+                                  pltpu.roll(lastr, shift=LANE - k, axis=1))
+                k *= 2
+            k = 1
+            while k < SUB_ROWS:
+                pv = pltpu.roll(lastv, shift=k, axis=0)
+                pr = pltpu.roll(lastr, shift=k, axis=0)
+                ok = (rowi >= k) & (pr == lastr)
+                lastv = jnp.where(ok, op(lastv, pv), lastv)
+                k *= 2
+            carryv = pltpu.roll(lastv, shift=1, axis=0)
+            carryr = pltpu.roll(lastr, shift=1, axis=0)
+            okc = (rowi >= 1) & (carryr == rl2)
+            p2 = jnp.where(okc, op(p2, carryv), p2)
+            # tails: the next flattened lane (lane+1, or next row's lane 0)
+            # belongs to a different run; the very last lane is a tail.
+            # int32 mask from the start — i1 shape casts don't lower.
+            nin = pltpu.roll(rl2, shift=LANE - 1, axis=1)
+            fnr = pltpu.roll(nin, shift=SUB_ROWS - 1, axis=0)
+            rl_next = jnp.where(lane == LANE - 1, fnr, nin)
+            tail_i = jnp.where(
+                (rl2 != rl_next) | ((rowi == SUB_ROWS - 1)
+                                    & (lane == LANE - 1)),
+                jnp.ones_like(rl2), jnp.zeros_like(rl2))
+            rl = rl2.reshape(1, SUB)
+            pf = p2.reshape(1, SUB)
+            tail = tail_i.reshape(1, SUB) != 0
 
         # one-hot select on the MXU: only tail lanes live → ≤1 live lane
         # per (rhi, rlo) → the sum IS the run total. Rows [32, 64) of the
@@ -249,12 +327,31 @@ def _mono_kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
                                  1.0),
                        0.0)
         hot_b = jnp.broadcast_to(rlo, (LANE, SUB)) == ib
-        Bt = hot_b.astype(y_ref.dtype)
-        M2 = jax.lax.dot_general(A2, Bt, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+        if matmul == "hilo":
+            # two DEFAULT-precision bf16 passes on a hi/lo split (~16-bit
+            # effective mantissa, rel err ~1.5e-5 — well inside the
+            # reference's 1e-3 bar) vs HIGHEST's ~6-pass decomposition.
+            # Bt and the presence 1.0s are exact in bf16.
+            Bt = hot_b.astype(jnp.bfloat16)
+            A2_hi = A2.astype(jnp.bfloat16)
+            A2_lo = (A2 - A2_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            M2 = jax.lax.dot_general(A2_hi, Bt, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            M2 = M2 + jax.lax.dot_general(A2_lo, Bt,
+                                          (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        else:
+            Bt = hot_b.astype(y_ref.dtype)
+            M2 = jax.lax.dot_general(A2, Bt, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
         M = M2[:W_ROWS]
         P = M2[W_ROWS:]
+        if matmul == "hilo":
+            # map bf16-saturated selects back to the exact identity so
+            # unreached sentinels survive (FLT_MAX convention, sssp.hpp:26)
+            M = jnp.where(jnp.abs(M) >= _SAT_THRESH,
+                          jnp.asarray(ident, M.dtype), M)
 
         cur = y_ref[pl.ds(r0, W_ROWS), :]
         y_ref[pl.ds(r0, W_ROWS), :] = jnp.where(P > 0, op(cur, M), cur)
@@ -262,9 +359,11 @@ def _mono_kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("add", "mul", "ident", "interpret",
-                                    "sweep"))
+                                    "sweep", "matmul", "scan"))
 def _spmv_monoid(plan: MonoidPlan, x: jnp.ndarray, add: str, mul: str,
-                 ident: float, interpret: bool, sweep: str) -> jnp.ndarray:
+                 ident: float, interpret: bool, sweep: str,
+                 matmul: str = "highest",
+                 scan: str = "flat") -> jnp.ndarray:
     n_in_pad, n_out_pad = plan.n_in_pad, plan.n_out_pad
     # pad slots of x carry the identity so window gathers of padding can
     # never beat a real candidate
@@ -283,10 +382,11 @@ def _spmv_monoid(plan: MonoidPlan, x: jnp.ndarray, add: str, mul: str,
         out_specs=pl.BlockSpec((n_out_pad // LANE, LANE),
                                lambda c, *_: (0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((SUB_ROWS, LANE), jnp.float32)],
     )
     y2d = pl.pallas_call(
         functools.partial(_mono_kernel, add=add, mul=mul, ident=ident,
-                          sweep=sweep),
+                          sweep=sweep, matmul=matmul, scan=scan),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out_pad // LANE, LANE),
                                        jnp.float32),
@@ -319,7 +419,9 @@ _IDENT_NP = {"zero": 0.0, "one": 1.0, "false": 0.0,
 
 def spmv_monoid(plan: MonoidPlan, x: jnp.ndarray, semiring,
                 interpret: Optional[bool] = None,
-                sweep: Optional[str] = None) -> jnp.ndarray:
+                sweep: Optional[str] = None,
+                matmul: Optional[str] = None,
+                scan: Optional[str] = None) -> jnp.ndarray:
     """y[i] = ⊕_{e ∈ row i} val[e] ⊗ x[ind[e]] for the min/max-⊕ semirings
     in SEMIRING_MAP; rows with no stored edges keep the ⊕ identity (the
     spmv_pull contract, ops/spmv.py)."""
@@ -328,10 +430,25 @@ def spmv_monoid(plan: MonoidPlan, x: jnp.ndarray, semiring,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if sweep is None:
-        sweep = os.environ.get("GRB_BILINEAR_SWEEP", "unroll").lower()
+        sweep = os.environ.get(
+            "GRB_MONOID_SWEEP",
+            os.environ.get("GRB_BILINEAR_SWEEP", "unroll")).lower()
     add, mul = SEMIRING_MAP[semiring.name]
+    if matmul is None:
+        env = os.environ.get("GRB_MONOID_MATMUL")
+        # select-type ⊗ (second/first) passes raw ids through the matmul —
+        # CC's parent ids are exact in f32 below 2^24 but hilo's ~16-bit
+        # effective mantissa would corrupt ids ≥ 2^16, so selects stay on
+        # HIGHEST; arithmetic ⊗ (SSSP/MIS distances/weights) rides the
+        # ~3x-faster hilo two-pass (rel err ~1e-5 vs the 1e-3 bar)
+        matmul = (env.lower() if env
+                  else ("highest" if mul in ("second", "first")
+                        else "hilo"))
+    if scan is None:
+        scan = os.environ.get("GRB_MONOID_SCAN", "2d").lower()
     ident = _IDENT_NP[semiring.add.identity_kind]
-    return _spmv_monoid(plan, x, add, mul, ident, interpret, sweep)
+    return _spmv_monoid(plan, x, add, mul, ident, interpret, sweep, matmul,
+                        scan)
 
 
 def plan_for_monoid(A, transpose: bool = False) -> Optional[MonoidPlan]:

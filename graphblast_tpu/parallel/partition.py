@@ -44,6 +44,7 @@ class StackedBitmapPlan:
     c_blk: jnp.ndarray      # (P, nsb) flat, or (P, n_chunks·128) when dma
     rp: jnp.ndarray         # (P, n_chunks)
     visited: jnp.ndarray    # (P, n_out_pad // 128)
+    swrow: jnp.ndarray      # (P, n_chunks·128) flat aligned-sweep rows
     n_out: int
     n_in: int
     n_out_pad: int
@@ -53,7 +54,7 @@ class StackedBitmapPlan:
     wp_bits: int
 
     def tree_flatten(self):
-        return ((self.loc, self.c_blk, self.rp, self.visited),
+        return ((self.loc, self.c_blk, self.rp, self.visited, self.swrow),
                 (self.n_out, self.n_in, self.n_out_pad, self.n_wrows,
                  self.m_pad, self.dma_cblk, self.wp_bits))
 
@@ -72,6 +73,7 @@ class StackedBitmapPlan:
         return BitmapPlan(self.n_out, self.n_in, self.n_out_pad,
                           self.n_wrows, self.m_pad, self.loc[0], cb,
                           self.rp[0], self.visited[0],
+                          self.swrow[0].reshape(-1, 128),
                           dma_cblk=self.dma_cblk, wp_bits=self.wp_bits)
 
 
@@ -188,13 +190,14 @@ def _stack_pull_plans(csc_blocks, rows_per: int, n_pad: int, mesh, axis):
 
     def put(name):
         arrs = [np.asarray(getattr(p, name)) for p in plans]
-        if p0.dma_cblk and name == "c_blk":
+        if name == "swrow" or (p0.dma_cblk and name == "c_blk"):
             arrs = [a.reshape(-1) for a in arrs]
         return jax.device_put(jnp.asarray(np.stack(arrs)), sh2)
 
     return StackedBitmapPlan(
         loc=put("loc"), c_blk=put("c_blk"), rp=put("rp"),
-        visited=put("visited"), n_out=p0.n_out, n_in=p0.n_in,
+        visited=put("visited"), swrow=put("swrow"),
+        n_out=p0.n_out, n_in=p0.n_in,
         n_out_pad=p0.n_out_pad, n_wrows=p0.n_wrows, m_pad=m_pad,
         dma_cblk=p0.dma_cblk, wp_bits=p0.wp_bits)
 

@@ -257,11 +257,17 @@ def test_bitmap_bilinear(rng, n_out, n_in, m, wp_bits):
     ptr = np.cumsum(ptr)
     plan = build_plan_bitmap(ptr, cols, n_out, n_in, wp_bits=wp_bits)
     f = (rng.random(n_in) < 0.2).astype(np.float32)
-    y = np.asarray(spmv_bilinear_bitmap(plan, pack_bitmap(jnp.asarray(f)),
-                                        interpret=True))
     yref = np.zeros(n_out, np.float64)
     np.add.at(yref, rows, f[cols])
-    np.testing.assert_array_equal(y, yref)
+    # aligned = lane-row-aligned run layout (r4 default); the window-sweep
+    # fallback is exercised on the first (smallest) shape only — each
+    # interpret run costs ~10 s and the sweeps share the plan layout
+    sweeps = ("aligned", "unroll") if (n_out, m) == (500, 3000) \
+        else ("aligned",)
+    for sweep in sweeps:
+        y = np.asarray(spmv_bilinear_bitmap(plan, pack_bitmap(jnp.asarray(f)),
+                                            interpret=True, sweep=sweep))
+        np.testing.assert_array_equal(y, yref, err_msg=sweep)
 
 
 def test_bfs_with_bitmap_plan(rng):
@@ -398,12 +404,21 @@ def test_monoid_pull_kernel_goldens():
                 np.minimum.at(want, rows, prod)
             else:
                 np.maximum.at(want, rows, prod)
-            for sweep in ("unroll", "fori"):
+            # HIGHEST matmul is exact-class; the hilo default (arithmetic
+            # ⊗ only) carries a ~16-bit effective mantissa (~1e-5 rel).
+            # The non-default variants run on the first case only — each
+            # interpret run costs seconds and the variants share layout.
+            variants = [(None, None, None, 1e-4)]     # library defaults
+            if name == "min-plus":
+                variants += [("unroll", "flat", "highest", 1e-5),
+                             ("fori", "2d", "highest", 1e-5)]
+            for sweep, scan, matmul, tol in variants:
                 got = np.asarray(spmv_monoid(plan, jnp.asarray(x), sr,
-                                             sweep=sweep))
+                                             sweep=sweep, scan=scan,
+                                             matmul=matmul))
                 rel = (np.abs(got - want.astype(np.float32))
                        / (np.abs(want) + 1))
-                assert rel.max() < 1e-5, (name, sweep, rel.max())
+                assert rel.max() < tol, (name, sweep, scan, rel.max())
 
 
 def test_monoid_pull_empty_and_identity_rows():
