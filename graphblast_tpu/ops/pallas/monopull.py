@@ -348,10 +348,16 @@ def _mono_kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
         M = M2[:W_ROWS]
         P = M2[W_ROWS:]
         if matmul == "hilo":
-            # map bf16-saturated selects back to the exact identity so
-            # unreached sentinels survive (FLT_MAX convention, sssp.hpp:26)
-            M = jnp.where(jnp.abs(M) >= _SAT_THRESH,
-                          jnp.asarray(ident, M.dtype), M)
+            # map bf16-saturated selects back to SIGNED ±FLT_MAX. For min
+            # monoids +saturated IS the unreached sentinel (FLT_MAX
+            # convention, sssp.hpp:26) and ident == +FLT_MAX, so behavior is
+            # unchanged; for max monoids a +saturated product is a genuine
+            # +huge value — mapping it to ident (= lowest) discarded it and
+            # broke MaximumMultiplies (round-4 red test).
+            fmax = float(np.finfo(np.float32).max)
+            M = jnp.where(M >= _SAT_THRESH, jnp.asarray(fmax, M.dtype),
+                          jnp.where(M <= -_SAT_THRESH,
+                                    jnp.asarray(-fmax, M.dtype), M))
 
         cur = y_ref[pl.ds(r0, W_ROWS), :]
         y_ref[pl.ds(r0, W_ROWS), :] = jnp.where(P > 0, op(cur, M), cur)

@@ -540,4 +540,8 @@ def test_pr_dist_value_plan_route(test_pr, mesh, monkeypatch):
     monkeypatch.delenv("GRB_DIST_PALLAS_FORCE")
     Ash0 = partition(Ap, mesh)
     want = pr_dist(test_pr, mesh, desc=desc, Ash=Ash0, prepared=True)
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    # the r4 value-SpMV default (hilo bf16 two-pass + pack2) carries a
+    # measured ~2.3e-6 rel kernel error (tools/tpu_bilinear_test.py, CLAUDE
+    # round-3 sweep); 4 PR iterations compound it slightly, so the route
+    # gate is 1e-5 — still 100x inside the reference's 1e-3 bar
+    np.testing.assert_allclose(got, want, atol=1e-5)
