@@ -108,9 +108,11 @@ def _traversal_rate(log, stage, single, sources, reached_edges, reps=3):
     return per_s
 
 
-def _bfs_stage(args, log, A, out, mode_name):
+def _bfs_stage(args, log, A, out, mode_name, key=None, sources=None,
+               max_niter=1000):
     """Fused BFS (pull-only headline / direction-optimized pushpull):
-    golden-checked at ≤ rmat18, then pipelined timing."""
+    golden-checked at ≤ rmat18, then pipelined timing. `key` overrides the
+    output metric name (the grid stages record bfs_grid_*)."""
     import jax
     import jax.numpy as jnp
 
@@ -120,13 +122,15 @@ def _bfs_stage(args, log, A, out, mode_name):
 
     mode = (Direction.PULLONLY if mode_name == "pull"
             else Direction.PUSHPULL)
-    deg = _host_degrees(A)
-    sources = np.argsort(deg)[::-1][: args.sources].astype(np.int32)
+    if sources is None:
+        deg = _host_degrees(A)
+        sources = np.argsort(deg)[::-1][: args.sources].astype(np.int32)
     kw = dict(struconly=True,
               edge_cap=min(A.nnz_pad,
                            max(1024, int(A.nnz_pad * 0.5) // 1024 * 1024)),
-              switchpoint=0.01, mode=mode, sort_push=True, max_niter=1000,
-              # single push tier for the pushpull stage: the 3-tier cond
+              switchpoint=0.01, mode=mode, sort_push=True,
+              max_niter=max_niter,
+              # single push tier for the pushpull stages: the 3-tier cond
               # ladder compiled in 1427 s on 2026-08-19 (3 spmspv
               # instantiations); one tier keeps the direction-optimized
               # measurement inside a realistic stage budget
@@ -176,9 +180,11 @@ def _bfs_stage(args, log, A, out, mode_name):
 
     per_s = _traversal_rate(log, mode_name, single, sources, re0,
                             reps=2 if A.nrows > (1 << 21) else 3)
-    key = "bfs_gteps" if mode_name == "pull" else "bfs_gteps_pushpull"
+    if key is None:
+        key = "bfs_gteps" if mode_name == "pull" else "bfs_gteps_pushpull"
     out[key] = round(re0 / per_s / 1e9, 4)
-    if mode_name == "pull":
+    out[key.replace("gteps", "ms")] = round(per_s * 1e3, 2)
+    if mode_name == "pull" and key == "bfs_gteps":
         out["bfs_gteps_total"] = round(A.nvals / per_s / 1e9, 4)
         out["bfs_mode"] = "pullonly"
 
@@ -202,6 +208,11 @@ def run_stage(args, stage: str):
     t0 = time.perf_counter()
     if stage == "mtx":
         A, extra = _mtx_ingest(args, log)
+    elif stage in ("grid_pull", "grid_push"):
+        from graphblast_tpu.io.rmat import grid_matrix
+
+        A = grid_matrix(args.grid_side)
+        extra = {"grid_side": args.grid_side}
     else:
         A = rmat_matrix(args.scale, args.edgefactor, seed=42)
         extra = {}
@@ -213,6 +224,68 @@ def run_stage(args, stage: str):
         _bfs_stage(args, log, A, out, "pull")
     elif stage == "bfs_pushpull":
         _bfs_stage(args, log, A, out, "pushpull")
+
+    elif stage in ("grid_pull", "grid_push"):
+        # high-diameter direction-optimization stressor (VERDICT r4 next-#3):
+        # a side×side grid has diameter 2(side−1) ≈ 2·√n, so pull sweeps all
+        # |E| edges ~1000×, while the sparse-output push does O(|E|) total.
+        # Reference rationale: vector.hpp:292-323 (the convert heuristic).
+        side = args.grid_side
+        srcs = np.asarray([0, (side // 2) * side + side // 2,
+                           side * side - 1, side - 1][: max(1, args.sources)],
+                          dtype=np.int32)
+        mode = "pull" if stage == "grid_pull" else "pushpull"
+        _bfs_stage(args, log, A, out, mode,
+                   key=("bfs_grid_pull_gteps" if mode == "pull"
+                        else "bfs_grid_push_gteps"),
+                   sources=srcs, max_niter=4 * side + 8)
+
+    elif stage == "cc":
+        from graphblast_tpu.algorithms.cc import _as_int_matrix, _cc_fused
+        from graphblast_tpu.ops.pallas.monopull import plan_for_monoid
+
+        plan = (plan_for_monoid(A, transpose=False)
+                if A.nrows < (1 << 24) else None)
+        Ai = _as_int_matrix(A)
+        log(f"[cc] kernel={'monoid-pallas' if plan is not None else 'sorted'}")
+
+        @jax.jit
+        def single(s):
+            parent, it = _cc_fused(Ai, plan, max_niter=1000)
+            # thread the source arg so pipelined dispatches stay distinct
+            return jnp.maximum(parent[0], s * 0), it, parent
+
+        t0 = time.perf_counter()
+        p0, it0, lab0 = single(jnp.asarray(0, INDEX_DTYPE))
+        it0 = int(it0)
+        log(f"[cc] compile+first run {time.perf_counter() - t0:.1f}s "
+            f"iters={it0}")
+        if A.nrows <= (1 << 18):
+            # vectorized min-label propagation golden (cc_cpu is per-edge
+            # Python — hours at this scale); FastSV converges to the same
+            # min-vertex-id-per-component labels on a symmetric graph
+            ptr, ind, _ = (np.asarray(a) for a in A._host_csr)
+            n = A.nrows
+            rows = np.repeat(np.arange(n), np.diff(ptr[: n + 1]))
+            lab = np.arange(n)
+            for _ in range(10000):
+                new = lab.copy()
+                np.minimum.at(new, rows, lab[ind[: A.nvals]])
+                new = np.minimum(new, new[new])
+                if (new == lab).all():
+                    break
+                lab = new
+            bad = int((np.asarray(lab0) != lab).sum())
+            out["check_cc_mismatch"] = bad
+            assert bad == 0, f"cc: {bad} wrong labels vs golden"
+            log(f"[cc] labels == CPU golden "
+                f"({len(np.unique(lab))} components)")
+        per_s = _traversal_rate(log, "cc", single,
+                                list(range(min(args.sources, 4))),
+                                A.nvals * it0)
+        out["cc_ms"] = round(per_s * 1e3, 2)
+        out["cc_iters"] = it0
+        out["cc_gteps"] = round(A.nvals * it0 / per_s / 1e9, 4)
 
     elif stage == "sssp":
         from graphblast_tpu.algorithms.sssp import _sssp_fused
@@ -462,9 +535,13 @@ def _emit(merged, args):
     for k in sorted(merged):
         if k.startswith("check_"):
             result[k] = merged[k]
-    for k in ("bfs_gteps_total", "bfs_gteps_pushpull", "bfs_mode",
+    for k in ("bfs_gteps_total", "bfs_gteps_pushpull", "bfs_ms",
+              "bfs_ms_pushpull", "bfs_mode",
               "sssp_gteps", "sssp_gteps_total", "sssp_mode",
               "spmv_gbs", "spmv_gteps", "pr_iters_per_s",
+              "cc_ms", "cc_iters", "cc_gteps",
+              "grid_side", "bfs_grid_pull_gteps", "bfs_grid_pull_ms",
+              "bfs_grid_push_gteps", "bfs_grid_push_ms", "grid_push_speedup",
               "tc_ms", "tc_rate_meps", "tc_scale",
               "tc_ms_rmat20", "tc_rate_meps_rmat20",
               "mtx_gb", "mtx_parse_s", "mtx_parse_mbs", "bfs_gteps_mtx",
@@ -491,8 +568,10 @@ def main():
     ap.add_argument("--sources", type=int, default=8)
     ap.add_argument("--spmv-iters", type=int, default=20)
     ap.add_argument("--mtx-scale", type=int, default=20)
+    ap.add_argument("--grid-side", type=int, default=512)
     ap.add_argument("--stage", choices=["bfs", "bfs_pushpull", "sssp",
-                                        "spmv", "pr", "tc", "mtx"])
+                                        "spmv", "pr", "tc", "mtx", "cc",
+                                        "grid_pull", "grid_push"])
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -519,8 +598,11 @@ def main():
 
     # (stage key, real stage, scale, sources, timeout multiplier) — ordered
     # cheapest/most-valuable compile first so early results always land.
-    # Measured single-stage costs at scale 18 (2026-08-19): bfs ≈ 2 min
-    # (97 s compile), spmv ≈ 3 min, pr ≈ 4 min, sssp/pushpull ≈ 4-6 min.
+    # Measured single-stage costs at scale 18 (r4, 2026-08-19): bfs ≈ 2-12
+    # min (compile lottery), spmv ≈ 3 min, sssp ≈ 1.5 min, pr ≈ 4 min,
+    # tc ≈ 8.5 min (417 s compile + 42 s/run). r4 burned its budget on tc
+    # BEFORE pr/pushpull/mtx — tc now runs after every per-algorithm number
+    # (VERDICT r4 next-#2).
     plan = [
         # 1.5x: the same single-source program compiled in 97 s and 686 s
         # within one hour on 2026-08-19 — remote-compile variance, not
@@ -528,12 +610,17 @@ def main():
         ("bfs", "bfs", args.scale, args.sources, 1.5),
         ("spmv", "spmv", args.scale, 1, 1.0),
         ("sssp", "sssp", args.scale, args.sources, 1.0),
+        ("pr", "pr", args.scale, 1, 1.0),
+        ("cc", "cc", args.scale, 4, 1.0),
+        # direction optimization on the record: the high-diameter grid pair
+        # first (push must WIN there), then the rmat18 pushpull number
+        ("grid_push", "grid_push", 0, 4, 1.5),
+        ("grid_pull", "grid_pull", 0, 4, 1.5),
+        ("bfs_pushpull", "bfs_pushpull", args.scale, args.sources, 1.5),
+        ("mtx", "mtx", args.mtx_scale, 4, 1.0),
         # tc keeps a wider budget: the sparse sort-join's remote compile
         # variance is the worst in the suite (CLAUDE.md)
         ("tc", "tc", min(args.scale, 18), 1, 1.5),
-        ("pr", "pr", args.scale, 1, 1.0),
-        ("bfs_pushpull", "bfs_pushpull", args.scale, args.sources, 1.5),
-        ("mtx", "mtx", args.mtx_scale, 4, 1.0),
         ("bfs22", "bfs", 22, 4, 1.5),
         ("tc15", "tc", 15, 1, 1.0),   # fallback TC number if tc18 timed out
         ("spmv22", "spmv", 22, 1, 1.0),
@@ -571,11 +658,13 @@ def main():
             continue
         tmo = min(tmo, remaining - 60)
         cmd = [sys.executable, "-u", os.path.abspath(__file__),
-               "--stage", real_stage, "--scale", str(stage_scale),
+               "--stage", real_stage,
+               "--scale", str(stage_scale or args.scale),
                "--edgefactor", str(args.edgefactor),
                "--sources", str(nsources),
                "--spmv-iters", str(args.spmv_iters),
-               "--mtx-scale", str(args.mtx_scale)]
+               "--mtx-scale", str(args.mtx_scale),
+               "--grid-side", str(args.grid_side)]
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=tmo)
@@ -594,7 +683,24 @@ def main():
                 _emit(merged, args)
                 continue
             vals = json.loads(line)
-            if stage in ("tc", "tc15"):
+            if stage in ("grid_pull", "grid_push"):
+                vals = {(k.replace("check_", "check_grid_")
+                         if k.startswith("check_") else k): v
+                        for k, v in vals.items()
+                        if k.startswith(("bfs_grid_", "check_", "grid_side"))}
+                # the push-wins record (VERDICT r4 next-#3): ratio > 1 means
+                # direction optimization beat pull on the high-diameter graph
+                if ("bfs_grid_pull_ms" in merged or "bfs_grid_pull_ms" in vals):
+                    pull = vals.get("bfs_grid_pull_ms",
+                                    merged.get("bfs_grid_pull_ms"))
+                    push = vals.get("bfs_grid_push_ms",
+                                    merged.get("bfs_grid_push_ms"))
+                    if pull and push:
+                        vals["grid_push_speedup"] = round(pull / push, 2)
+            elif stage == "cc":
+                vals = {k: v for k, v in vals.items()
+                        if k.startswith(("cc_", "check_"))}
+            elif stage in ("tc", "tc15"):
                 # tc may run on a capped scale — don't clobber n/nnz/device
                 vals = {k: v for k, v in vals.items()
                         if k.startswith(("tc_", "check_"))}
@@ -616,7 +722,7 @@ def main():
                         or k == "bfs_gteps"}
             elif stage == "bfs_pushpull":
                 vals = {k: v for k, v in vals.items()
-                        if k == "bfs_gteps_pushpull"
+                        if k in ("bfs_gteps_pushpull", "bfs_ms_pushpull")
                         or k.startswith("check_")}
             merged.update(vals)
             merged["stages_done"].append(stage)

@@ -40,6 +40,37 @@ def rmat_edges(scale: int, edge_factor: int = 16, seed: int = 0,
     return perm[rows], perm[cols]
 
 
+def grid_edges(side: int):
+    """Undirected 2D 4-neighbor grid (road-network analog): n = side²,
+    diameter 2·(side−1). The direction-optimization stressor the reference's
+    push path exists for (vector.hpp:292-323 heuristic): every BFS frontier
+    stays O(side) ≪ n, so pull (which sweeps ALL edges per level) does
+    ~diameter·|E| work while push does O(|E|) total. Returns symmetric
+    (rows, cols)."""
+    v = np.arange(side * side, dtype=np.int64).reshape(side, side)
+    right = np.stack([v[:, :-1].ravel(), v[:, 1:].ravel()])
+    down = np.stack([v[:-1, :].ravel(), v[1:, :].ravel()])
+    rows = np.concatenate([right[0], down[0], right[1], down[1]])
+    cols = np.concatenate([right[1], down[1], right[0], down[0]])
+    return rows, cols
+
+
+def grid_matrix(side: int, dtype=None, **kw):
+    """Canonicalized side×side grid Matrix (unit weights)."""
+    import jax.numpy as jnp
+
+    from ..matrix import Matrix
+    from .mmio import canonicalize_coo
+
+    dtype = dtype or jnp.float32
+    rows, cols = grid_edges(side)
+    vals = np.ones(len(rows), np.float32)
+    rows, cols, vals = canonicalize_coo(rows, cols, vals, undirected=False,
+                                        remove_self_loops=True)
+    n = side * side
+    return Matrix.from_coo(rows, cols, vals, n, n, dtype=dtype, **kw)
+
+
 def rmat_matrix(scale: int, edge_factor: int = 16, seed: int = 0,
                 undirected: bool = True, dtype=None,
                 cache_dir: str = None, **kw):

@@ -28,7 +28,7 @@ from ..matrix import Matrix
 from ..semiring import Semiring
 from ..types import INDEX_DTYPE
 from ..vector import dense_from_sparse, sparse_from_dense
-from .spmspv import frontier_degrees, spmspv_push
+from .spmspv import frontier_degrees, spmspv_push, spmspv_push_sparse
 from .spmv import spmv_pull, spmv_pull_sorted
 
 
@@ -220,6 +220,17 @@ def mxv_dual(
         return spmv_pull(pull_ptr, pull_ind, pull_val, f.dense, semiring,
                          n_out, mask_dense, mask_scmp, structure_only)
 
+    with_vals = not structure_only
+
+    def finish_dense(y):
+        # dense-only producers re-sparsify with the full-n sort (the
+        # reference's streamCompact epilogue, vector.hpp:367-425)
+        if postprocess is not None:
+            y = postprocess(y)
+        sind, sval, nv = sparse_from_dense(y, identity,
+                                           with_values=with_vals)
+        return y, sind, sval, nv
+
     def make_push(cap, slice_frontier=False):
         # intermediate tiers slice the compacted frontier to the tier's
         # capacity: every expansion stage (marks scatter, degree gather,
@@ -227,14 +238,23 @@ def mxv_dual(
         # tiers' predicate requires snvals <= cap (valid entries sort to the
         # front). The final tier keeps the full frontier.
         fcap = min(f.sind.shape[0], cap) if slice_frontier else f.sind.shape[0]
+        fs = f.sind[:fcap]
+        fv = f.sval[:fcap] if f.sval is not None else None
 
         def do_push(_):
-            return spmspv_push(push_ptr, push_ind, push_val,
-                               f.sind[:fcap],
-                               f.sval[:fcap] if f.sval is not None else None,
-                               f.snvals, semiring, n_out, cap,
-                               mask_dense, mask_scmp, structure_only,
-                               sort_push)
+            if sort_push and postprocess is None:
+                # sparse-output MERGE push: the new frontier compacts inside
+                # the cap-sized workspace — no full-n sort. This is what
+                # keeps push O(frontier-edges) on high-diameter graphs.
+                return spmspv_push_sparse(
+                    push_ptr, push_ind, push_val, fs, fv, f.snvals,
+                    semiring, n_out, cap, mask_dense, mask_scmp,
+                    structure_only, with_values=with_vals)
+            y = spmspv_push(push_ptr, push_ind, push_val, fs, fv,
+                            f.snvals, semiring, n_out, cap,
+                            mask_dense, mask_scmp, structure_only,
+                            sort_push)
+            return finish_dense(y)
         return do_push
 
     # workspace tiers: static shapes mean every push pays its full edge_cap
@@ -259,35 +279,29 @@ def mxv_dual(
         return build(0)
 
     if mode == Direction.PULLONLY:
-        y = do_pull(None)
-        use_push_now = jnp.asarray(False)
-    elif mode == Direction.PUSHONLY:
-        deg_total = jnp.sum(frontier_degrees(push_ptr, f.sind, f.snvals))
-        y = push_tiered_fn(deg_total)(None)
-        use_push_now = jnp.asarray(True)
-    else:
-        # push feasibility: expanded edges must fit the static workspace
-        deg_total = jnp.sum(frontier_degrees(push_ptr, f.sind, f.snvals))
-        use_push_now = f.use_sparse & (deg_total <= edge_cap)
-        y = jax.lax.cond(use_push_now, push_tiered_fn(deg_total), do_pull, None)
-
-    if postprocess is not None:
-        y = postprocess(y)
-    if mode == Direction.PULLONLY:
         # the compacted image is only ever consumed by a push iteration:
         # pull-only loops skip the per-iteration sort entirely (the count
         # is a cheap reduction) and carry the stale sind/sval through the
         # while_loop unchanged (XLA keeps them alias-carried, no copy) —
         # measured ~0.5 ms/iter saved at rmat18
+        y = do_pull(None)
+        if postprocess is not None:
+            y = postprocess(y)
         ident = jnp.asarray(identity, y.dtype)
         nv = jnp.sum(y != ident).astype(INDEX_DTYPE)
         sind, sval = f.sind, f.sval
+        use_push_now = jnp.asarray(False)
+    elif mode == Direction.PUSHONLY:
+        deg_total = jnp.sum(frontier_degrees(push_ptr, f.sind, f.snvals))
+        y, sind, sval, nv = push_tiered_fn(deg_total)(None)
+        use_push_now = jnp.asarray(True)
     else:
-        # structure-only traversals never read frontier values: skip the
-        # value fetch AND drop the loop-carried array (XLA cannot DCE loop
-        # state)
-        sind, sval, nv = sparse_from_dense(y, identity,
-                                           with_values=not structure_only)
+        # push feasibility: expanded edges must fit the static workspace
+        deg_total = jnp.sum(frontier_degrees(push_ptr, f.sind, f.snvals))
+        use_push_now = f.use_sparse & (deg_total <= edge_cap)
+        y, sind, sval, nv = jax.lax.cond(
+            use_push_now, push_tiered_fn(deg_total),
+            lambda _: finish_dense(do_pull(None)), None)
     use_sparse, ratio = update_direction(nv, n_out, f.ratio, use_push_now,
                                          switchpoint, mode)
     return DualFrontier(n_out, y, sind, sval, nv, ratio, use_sparse), use_push_now

@@ -155,6 +155,64 @@ def _masked_join_chunk(mi_all, mj_all, s, m_count, a_ptr, a_ind, a_val,
     return jnp.where(slot_valid, c_val, jnp.zeros((), out_dtype))
 
 
+@partial(jax.jit, static_argnames=("acap",))
+def _masked_count_chunk(mi_all, mj_all, s, m_count, a_ptr, a_ind,
+                        b_j, b_k, expand_e, acap: int):
+    """One mask-edge chunk of STRUCTURAL masked SpGEMM counting: the number
+    of (mask-edge wedge, B-entry) key matches — Σ_{(i,j)∈M} |N_A(i) ∩ N_B(j)|.
+
+    The triangle-count specialization of _masked_join_chunk (VERDICT r4
+    next-#5): no values ride the sort (⊗ products are all 1), no routing
+    back to expansion order, no segmented scan — the whole chunk is ONE
+    two-array two-key sort plus a cummax carry. The membership tag is packed
+    into the second key's LSB (keys < 2^29 so kk<<1|tag fits int32), so B
+    entries sort immediately before the query run with the same (j, k).
+    Reference analog: the warp-per-mask-row intersect kernel
+    (kernels/spgemm.hpp:17-79) with the per-entry binary search replaced by
+    one radix-class sort."""
+    from .gather_dispatch import take
+
+    expand_cap = expand_e.shape[0]
+    n = a_ptr.shape[0] - 1
+    BIG = jnp.int32(1 << 29)   # sentinel; real ids < n ≤ 2^24
+
+    mi_c = jax.lax.dynamic_slice(mi_all, (s,), (acap,))
+    mj_c = jax.lax.dynamic_slice(mj_all, (s,), (acap,))
+    slot = jnp.arange(acap, dtype=INDEX_DTYPE)
+    slot_valid = slot < m_count
+    mi_safe = jnp.minimum(mi_c, n - 1)
+    deg = jnp.where(slot_valid, a_ptr[mi_safe + 1] - a_ptr[mi_safe], 0)
+    offsets = jnp.cumsum(deg) - deg
+    total = offsets[-1] + deg[-1]
+
+    mark_tgt = jnp.where(deg > 0, offsets, expand_cap)
+    marks = (jnp.zeros((expand_cap,), INDEX_DTYPE)
+             .at[mark_tgt].max(slot, mode="drop"))
+    m_slot = jax.lax.cummax(marks)
+    t = expand_e - take(offsets, m_slot, sorted=True)
+    mi_exp = jnp.minimum(take(mi_c, m_slot, sorted=True), n - 1)
+    a_idx = jnp.clip(take(a_ptr, mi_exp, sorted=True) + t,
+                     0, a_ind.shape[0] - 1)
+    k = take(a_ind, a_idx, sorted=True)
+    lane_valid = expand_e < total
+    j = jnp.where(lane_valid, take(mj_c, m_slot, sorted=True), BIG)
+    k = jnp.where(lane_valid, k, BIG)
+
+    jj = jnp.concatenate([jnp.minimum(b_j, BIG), j])
+    kk2 = jnp.concatenate([jnp.minimum(b_k, BIG) << 1, (k << 1) | 1])
+    j_s, k2_s = jax.lax.sort((jj, kk2), num_keys=2, is_stable=False)
+    tag_s = k2_s & 1
+    pos = jnp.arange(j_s.shape[0], dtype=INDEX_DTYPE)
+    carry = jax.lax.cummax(jnp.where(tag_s == 0, pos, -1))
+    carry_safe = jnp.clip(carry, 0, j_s.shape[0] - 1)
+    found = ((carry >= 0) & (tag_s == 1) & (j_s < BIG)
+             & (take(j_s, carry_safe, sorted=True) == j_s)
+             & (take(k2_s, carry_safe, sorted=True) == (k2_s & ~1)))
+    # per-chunk counts fit int32 (≤ expand_cap lanes); the caller sums
+    # chunk scalars in host int64 so multi-billion totals don't wrap
+    return jnp.sum(found.astype(jnp.int32))
+
+
 def _host_mask_coo(M: Matrix):
     """(mi, mj) of the mask's stored entries without a device fetch when the
     host stash exists (D2H over the TPU relay is ~0.5 MB/s — CLAUDE.md)."""
@@ -167,28 +225,13 @@ def _host_mask_coo(M: Matrix):
             np.asarray(M.col_ind)[: M.nvals])
 
 
-def spgemm_masked(A: Matrix, B: Matrix, M: Matrix, semiring: Semiring,
-                  transpose_b: bool = False,
-                  max_lanes: int = 1 << 23) -> Matrix:
-    """C = (A ⊕.⊗ B or Bᵀ) .* structure(M): C duplicates M's sparsity
-    (reference: spgemm.hpp:85-87 C.dup(mask); warp kernel
-    kernels/spgemm.hpp:17-79 re-derived as chunked sort-join membership).
-
-    Requires A's CSR and B's CSC (or B's CSR when transpose_b — TC's
-    mxm(…, Aᵀ) idiom, tc.hpp:24). `max_lanes` bounds the per-chunk static
-    (mask-edge × A-entry) expansion workspace; the mask is chunked on the
-    host so any scale runs in O(max_lanes) memory (the memusage idiom,
-    spmspv_inner.hpp:51-59).
-
-    Min-side expansion (on unless GRB_SPGEMM_MINSIDE=0): C[i,j] is a
-    k-intersection of A's row i and B's column j (row j when transpose_b),
-    so per mask edge we enumerate whichever side is SHORTER and membership-
-    test against the other — work drops from Σ deg_A(i) to
-    Σ min(deg_A(i), deg_B(j)) (7× fewer expanded lanes on rmat18's tril,
-    943M → 134M). The reference's warp kernel has the same freedom but
-    always enumerates A (kernels/spgemm.hpp:17-79). The chunk kernel is
-    role-symmetric: side-B chunks swap the expand/query operands and set
-    swap_mul so ⊗ keeps A-then-B operand order."""
+def _mask_chunk_plan(A: Matrix, B: Matrix, M: Matrix, transpose_b: bool,
+                     max_lanes: int):
+    """Host-side min-side chunk planning shared by spgemm_masked and
+    spgemm_masked_count: exact expansion sizing, side choice per mask edge,
+    greedy chunking, sentinel-padded device mask staging. Returns None for
+    an empty mask/expansion, else (chunks, acap, expand_e, mi_all, mj_all,
+    perm, bexp, b_j, b_k, b_v, a_i_tab, a_k_tab)."""
     import os
 
     max_lanes = int(os.environ.get("GRB_SPGEMM_LANES", max_lanes))
@@ -201,7 +244,6 @@ def spgemm_masked(A: Matrix, B: Matrix, M: Matrix, semiring: Semiring,
         b_nvals = B.nvals
     if b_j is None:
         raise ValueError("spgemm_masked needs B CSC (or CSR with transpose_b)")
-    out_dtype = A.dtype
 
     # pad B slots must never match a query key
     BIG = np.iinfo(np.int32).max
@@ -255,12 +297,7 @@ def spgemm_masked(A: Matrix, B: Matrix, M: Matrix, semiring: Semiring,
         deg_np, n_a = deg_a_np, nvals
     total = int(deg_np.sum())
     if total == 0 or nvals == 0:
-        c_val = jnp.zeros((M.nnz_pad,), out_dtype)
-        return Matrix(M.nrows, M.ncols, M.nvals,
-                      row_ptr=M.row_ptr, col_ind=M.col_ind, row_ind=M.row_ind,
-                      val=c_val, col_ptr=None, csc_row_ind=None,
-                      csc_col_ind=None, csc_val=None, format=M.format,
-                      symmetric=False)
+        return None
     max_lanes = max(max_lanes, int(deg_np.max()) if nvals else 1)
 
     # greedy chunking by exact expansion size, O(n_chunks·log nvals) via
@@ -300,11 +337,81 @@ def spgemm_masked(A: Matrix, B: Matrix, M: Matrix, semiring: Semiring,
             [mi_p, np.full(acap, n, np.int64)]).astype(np.int32))
         mj_all = jnp.asarray(np.concatenate(
             [mj_p, np.full(acap, BIG, np.int64)]).astype(np.int32))
+    a_i_tab = a_k_tab = None
     if n_b:
         # side-B membership table: A's CSR entries keyed (row i, col k)
         aslot_valid = jnp.arange(A.nnz_pad, dtype=INDEX_DTYPE) < A.nvals
         a_i_tab = jnp.where(aslot_valid, A.row_ind.astype(jnp.int32), BIG)
         a_k_tab = jnp.where(aslot_valid, A.col_ind.astype(jnp.int32), BIG)
+    return (chunks, acap, expand_e, mi_all, mj_all, perm, bexp,
+            b_j, b_k, b_v, a_i_tab, a_k_tab)
+
+
+def spgemm_masked_count(A: Matrix, B: Matrix, M: Matrix,
+                        transpose_b: bool = False,
+                        max_lanes: int = 1 << 23) -> int:
+    """Σ_{(i,j)∈M} |N_A(i) ∩ N_B(j)| — the STRUCTURAL masked-SpGEMM total
+    (triangle counting, tc.hpp:15-54, treats all values as 1 like the
+    reference driver, example/gtc.cu:80-82). Chunk kernel is a single
+    two-key sort (_masked_count_chunk) — ~an order of magnitude less sort
+    traffic than the value path. Inputs must be canonical (deduped): each
+    (j,k) appears at most once in B."""
+    plan = _mask_chunk_plan(A, B, M, transpose_b, max_lanes)
+    if plan is None:
+        return 0
+    (chunks, acap, expand_e, mi_all, mj_all, _perm, bexp,
+     b_j, b_k, _b_v, a_i_tab, a_k_tab) = plan
+    parts = []
+    for s, tt, is_b in chunks:
+        if is_b:
+            parts.append(_masked_count_chunk(
+                mj_all, mi_all, jnp.asarray(s, INDEX_DTYPE),
+                jnp.asarray(tt - s, INDEX_DTYPE),
+                bexp[0], bexp[1], a_i_tab, a_k_tab, expand_e, acap))
+        else:
+            parts.append(_masked_count_chunk(
+                mi_all, mj_all, jnp.asarray(s, INDEX_DTYPE),
+                jnp.asarray(tt - s, INDEX_DTYPE),
+                A.row_ptr, A.col_ind, b_j, b_k, expand_e, acap))
+    # one D2H for all chunks; host int64 sum so multi-billion totals
+    # (scale ≥ 22) never wrap int32
+    return int(np.asarray(jnp.stack(parts), dtype=np.int64).sum())
+
+
+def spgemm_masked(A: Matrix, B: Matrix, M: Matrix, semiring: Semiring,
+                  transpose_b: bool = False,
+                  max_lanes: int = 1 << 23) -> Matrix:
+    """C = (A ⊕.⊗ B or Bᵀ) .* structure(M): C duplicates M's sparsity
+    (reference: spgemm.hpp:85-87 C.dup(mask); warp kernel
+    kernels/spgemm.hpp:17-79 re-derived as chunked sort-join membership).
+
+    Requires A's CSR and B's CSC (or B's CSR when transpose_b — TC's
+    mxm(…, Aᵀ) idiom, tc.hpp:24). `max_lanes` bounds the per-chunk static
+    (mask-edge × A-entry) expansion workspace; the mask is chunked on the
+    host so any scale runs in O(max_lanes) memory (the memusage idiom,
+    spmspv_inner.hpp:51-59).
+
+    Min-side expansion (on unless GRB_SPGEMM_MINSIDE=0): C[i,j] is a
+    k-intersection of A's row i and B's column j (row j when transpose_b),
+    so per mask edge we enumerate whichever side is SHORTER and membership-
+    test against the other — work drops from Σ deg_A(i) to
+    Σ min(deg_A(i), deg_B(j)) (7× fewer expanded lanes on rmat18's tril,
+    943M → 134M). The reference's warp kernel has the same freedom but
+    always enumerates A (kernels/spgemm.hpp:17-79). The chunk kernel is
+    role-symmetric: side-B chunks swap the expand/query operands and set
+    swap_mul so ⊗ keeps A-then-B operand order."""
+    plan = _mask_chunk_plan(A, B, M, transpose_b, max_lanes)
+    out_dtype = A.dtype
+    if plan is None:
+        c_val = jnp.zeros((M.nnz_pad,), out_dtype)
+        return Matrix(M.nrows, M.ncols, M.nvals,
+                      row_ptr=M.row_ptr, col_ind=M.col_ind, row_ind=M.row_ind,
+                      val=c_val, col_ptr=None, csc_row_ind=None,
+                      csc_col_ind=None, csc_val=None, format=M.format,
+                      symmetric=False)
+    (chunks, acap, expand_e, mi_all, mj_all, perm, bexp,
+     b_j, b_k, b_v, a_i_tab, a_k_tab) = plan
+    nvals = int(M.nvals)
 
     # on-device assembly: ascending dynamic_update_slice windows — chunk c's
     # zeroed tail is overwritten by chunk c+1; the buffer is oversized so the

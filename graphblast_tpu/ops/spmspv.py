@@ -180,51 +180,132 @@ def spmspv_push(
             y = base.at[tgt].max(jnp.where(valid, (mv != 0).astype(out_dtype),
                                            jnp.zeros((), out_dtype)), mode="drop")
     else:
-        # MERGE mode (reference: spmspv_inner.hpp:219-317), monoid-
-        # specialized:
-        #   Min/Max → sort with the VALUE as a secondary key: the segment
-        #     head (Min) / tail (Max) IS the reduction — no segmented scan
-        #     at all (the endbit-spirit narrowing of r2's full
-        #     sort+Hillis-Steele pipeline, VERDICT r2 next-#3).
-        #   generic ⊕ → key sort + segmented scan as before.
-        # The final scatter broadcasts the segment result to EVERY lane so
-        # the write indices stay globally sorted with all duplicates
-        # identical — deterministic, and eligible for XLA's sorted-scatter
-        # lowering (indices_are_sorted).
-        from .gather_dispatch import take
-
-        add_name2 = semiring.add.name
-        if add_name2 in ("MinimumMonoid", "MaximumMonoid"):
-            keys, vals = jax.lax.sort((tgt, mv), num_keys=2, is_stable=False)
-            heads = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                                     keys[1:] != keys[:-1]])
-            pos = jnp.arange(edge_cap, dtype=INDEX_DTYPE)
-            if add_name2 == "MinimumMonoid":
-                # min value sits at the segment head — forward-fill it
-                fill_pos = jax.lax.cummax(jnp.where(heads, pos, 0))
-            else:
-                # max value sits at the segment tail — backward-fill it
-                tails = jnp.concatenate([keys[1:] != keys[:-1],
-                                         jnp.ones((1,), jnp.bool_)])
-                fill_pos = jnp.flip(edge_cap - 1 - jax.lax.cummax(
-                    jnp.where(jnp.flip(tails), pos, 0)))
-            seg_val = take(vals, fill_pos, sorted=True)
-        else:
-            keys, vals = jax.lax.sort((tgt, mv), num_keys=1, is_stable=False)
-            heads = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                                     keys[1:] != keys[:-1]])
-            scanned = segmented_scan(vals, heads, semiring.add)
-            # inclusive scan holds the segment total at the TAIL —
-            # backward-fill it across the segment
-            pos = jnp.arange(edge_cap, dtype=INDEX_DTYPE)
-            tails = jnp.concatenate([keys[1:] != keys[:-1],
-                                     jnp.ones((1,), jnp.bool_)])
-            fill_pos = jnp.flip(edge_cap - 1 - jax.lax.cummax(
-                jnp.where(jnp.flip(tails), pos, 0)))
-            seg_val = take(scanned, fill_pos, sorted=True)
+        keys, seg_val, _ = _merge_reduce(tgt, mv, semiring, edge_cap, False)
+        # the scatter broadcasts the segment result to EVERY lane so the
+        # write indices stay globally sorted with all duplicates identical —
+        # deterministic, and eligible for XLA's sorted-scatter lowering
         y = (jnp.full((n_out,), ident, out_dtype)
              .at[keys].set(seg_val, mode="drop", indices_are_sorted=True))
 
     if mask_dense is not None:
         y = jnp.where(mask_pass(mask_dense, mask_scmp), y, ident)
     return y
+
+
+def _merge_reduce(tgt, mv, semiring, edge_cap: int, dup_insensitive: bool):
+    """Sort expanded edges by destination and ⊕-reduce each segment.
+
+    MERGE mode (reference: spmspv_inner.hpp:219-317), monoid-specialized:
+      * duplicate-insensitive ⊕ (struconly Or/Max) → single-key sort, the
+        segment value is the constant 1 — no value carry at all;
+      * Min/Max → sort with the VALUE as a secondary key: the segment
+        head (Min) / tail (Max) IS the reduction — no segmented scan
+        (the endbit-spirit narrowing of r2's full sort+Hillis-Steele
+        pipeline, VERDICT r2 next-#3);
+      * generic ⊕ → key sort + segmented scan.
+
+    Returns (keys, seg_val, heads): destination-sorted keys, the segment's
+    ⊕-total broadcast to every lane of its segment, and segment-head flags.
+    """
+    from .gather_dispatch import take
+
+    add_name = semiring.add.name
+    if dup_insensitive:
+        keys = jax.lax.sort(tgt, is_stable=False)
+        heads = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 keys[1:] != keys[:-1]])
+        return keys, jnp.ones((edge_cap,), mv.dtype), heads
+    if add_name in ("MinimumMonoid", "MaximumMonoid"):
+        keys, vals = jax.lax.sort((tgt, mv), num_keys=2, is_stable=False)
+        heads = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 keys[1:] != keys[:-1]])
+        pos = jnp.arange(edge_cap, dtype=INDEX_DTYPE)
+        if add_name == "MinimumMonoid":
+            # min value sits at the segment head — forward-fill it
+            fill_pos = jax.lax.cummax(jnp.where(heads, pos, 0))
+        else:
+            # max value sits at the segment tail — backward-fill it
+            tails = jnp.concatenate([keys[1:] != keys[:-1],
+                                     jnp.ones((1,), jnp.bool_)])
+            fill_pos = jnp.flip(edge_cap - 1 - jax.lax.cummax(
+                jnp.where(jnp.flip(tails), pos, 0)))
+        seg_val = take(vals, fill_pos, sorted=True)
+    else:
+        keys, vals = jax.lax.sort((tgt, mv), num_keys=1, is_stable=False)
+        heads = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 keys[1:] != keys[:-1]])
+        scanned = segmented_scan(vals, heads, semiring.add)
+        # inclusive scan holds the segment total at the TAIL —
+        # backward-fill it across the segment
+        pos = jnp.arange(edge_cap, dtype=INDEX_DTYPE)
+        tails = jnp.concatenate([keys[1:] != keys[:-1],
+                                 jnp.ones((1,), jnp.bool_)])
+        fill_pos = jnp.flip(edge_cap - 1 - jax.lax.cummax(
+            jnp.where(jnp.flip(tails), pos, 0)))
+        seg_val = take(scanned, fill_pos, sorted=True)
+    return keys, seg_val, heads
+
+
+def spmspv_push_sparse(
+    ptr: jnp.ndarray,
+    ind: jnp.ndarray,
+    mat_val: Optional[jnp.ndarray],
+    f_ind: jnp.ndarray,
+    f_val: Optional[jnp.ndarray],
+    f_nvals,
+    semiring: Semiring,
+    n_out: int,
+    edge_cap: int,
+    mask_dense: Optional[jnp.ndarray] = None,
+    mask_scmp: bool = False,
+    structure_only: bool = False,
+    swap_mul: bool = False,
+    out_dtype=None,
+    with_values: bool = True,
+):
+    """MERGE push with SPARSE output: returns (y_dense, sind, sval, nv).
+
+    The destination sort already orders the expanded edges; the new frontier
+    is exactly the segment heads that survive the mask — compacted INSIDE
+    the edge_cap workspace (cumsum + one small scatter) instead of the
+    full-n sort the dense path pays afterwards (vector.sparse_from_dense).
+    This is what makes push O(frontier-edges) per iteration on TPU — the
+    high-diameter regime direction optimization exists for
+    (vector.hpp:292-323); the reference gets the same effect by
+    stream-compacting the mgpu ReduceByKey output
+    (spmspv_inner.hpp:300-317).
+
+    sind is (n_out,)-padded with sentinel n_out, valid entries ascending at
+    the front — the exact sparse_from_dense layout DualFrontier expects.
+    """
+    if out_dtype is None:
+        out_dtype = f_val.dtype if f_val is not None else jnp.float32
+    ident = semiring.identity(out_dtype)
+    dst, mv, valid, _ = expand_frontier(
+        ptr, ind, mat_val, f_ind, f_val, f_nvals, edge_cap,
+        structure_only, semiring, out_dtype, swap_mul)
+    tgt = jnp.where(valid, dst, n_out).astype(INDEX_DTYPE)
+    dup_ok = structure_only and semiring.add.name in ("LogicalOrMonoid",
+                                                      "MaximumMonoid")
+    keys, seg_val, heads = _merge_reduce(tgt, mv, semiring, edge_cap, dup_ok)
+
+    keep = heads & (keys < n_out) & (seg_val != ident)
+    if mask_dense is not None:
+        from .gather_dispatch import take
+
+        mk = take(mask_dense, jnp.minimum(keys, n_out - 1), sorted=True)
+        keep = keep & mask_pass(mk, mask_scmp)
+    nv = jnp.sum(keep).astype(INDEX_DTYPE)
+    # compact surviving heads to the front of an n_out-sized pad array;
+    # dropped lanes (pad segments, masked heads, non-head lanes) route to
+    # the sentinel slot. One write per SEGMENT, not per lane.
+    pos = jnp.cumsum(keep.astype(INDEX_DTYPE)) - 1
+    spos = jnp.where(keep, pos, n_out)
+    sind = (jnp.full((n_out,), n_out, INDEX_DTYPE)
+            .at[spos].set(keys, mode="drop"))
+    sval = ((jnp.full((n_out,), ident, out_dtype)
+             .at[spos].set(seg_val, mode="drop")) if with_values else None)
+    wk = jnp.where(keep, keys, n_out)
+    y = (jnp.full((n_out,), ident, out_dtype)
+         .at[wk].set(seg_val, mode="drop"))
+    return y, sind, sval, nv

@@ -152,3 +152,71 @@ def test_fuzz_masked_spgemm(seed, name, monkeypatch):
                     got[mi, mj], want[mi, mj], rtol=1e-4, atol=1e-4,
                     err_msg=f"{name} transpose_b={transpose_b} "
                             f"minside={minside} lanes={lanes}")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_masked_count(seed, monkeypatch):
+    """spgemm_masked_count (the TC structural fast path: one two-key sort
+    per chunk) vs a brute-force intersection count, sweeping transpose_b ×
+    min-side × chunking (VERDICT r4 next-#5)."""
+    from graphblast_tpu.ops.spgemm import spgemm_masked_count
+
+    rng = np.random.default_rng(700 + seed)
+    n = int(rng.integers(30, 70))
+
+    def rand_mat(hubs):
+        m = int(rng.integers(n, n * 6))
+        rows = rng.integers(0, n, m)
+        if hubs:
+            hub = rng.integers(0, n, 3)
+            pick = rng.random(m) < 0.5
+            rows[pick] = hub[rng.integers(0, 3, int(pick.sum()))]
+        cols = rng.integers(0, n, m)
+        key = rows.astype(np.int64) * n + cols
+        _, keep = np.unique(key, return_index=True)
+        rows, cols = rows[keep], cols[keep]
+        vals = np.ones(len(rows), np.float32)
+        M = gb.Matrix.from_coo(rows, cols, vals, n, n)
+        Md = np.zeros((n, n), bool)
+        Md[rows, cols] = True
+        return M, Md
+
+    A, Ad = rand_mat(hubs=True)
+    B, Bd = rand_mat(hubs=False)
+    Mk, Mkd = rand_mat(hubs=True)
+    for transpose_b in (False, True):
+        Bside = Bd.T if transpose_b else Bd
+        mi, mj = np.nonzero(Mkd)
+        want = int(sum((Ad[i] & Bside[:, j]).sum() for i, j in zip(mi, mj)))
+        for minside in ("1", "0"):
+            monkeypatch.setenv("GRB_SPGEMM_MINSIDE", minside)
+            for lanes in (32, 1 << 18):
+                got = spgemm_masked_count(A, B, Mk,
+                                          transpose_b=transpose_b,
+                                          max_lanes=lanes)
+                assert got == want, (seed, transpose_b, minside, lanes)
+
+
+def test_tc_sparse_count_matches_dense(monkeypatch):
+    """tc() on the sparse structural-count path (GRB_TC_DENSE_LIMIT=0) and
+    on the general mxm route must equal the dense-MXU path and the CPU
+    golden."""
+    from graphblast_tpu.algorithms.tc import tc, tc_cpu
+    from graphblast_tpu.operations import tril
+
+    from graphblast_tpu.io.mmio import canonicalize_coo
+
+    rng = np.random.default_rng(9)
+    n, m = 200, 2400
+    rows = rng.integers(0, n, m)
+    cols = rng.integers(0, n, m)
+    r, c, v = canonicalize_coo(rows, cols, np.ones(m, np.float32),
+                               undirected=True, remove_self_loops=True)
+    A = gb.Matrix.from_coo(r, c, v, n, n)
+    L = tril(A)
+    want = int(tc_cpu(L))
+    assert int(tc(L)) == want                     # dense MXU path (n ≤ limit)
+    monkeypatch.setenv("GRB_TC_DENSE_LIMIT", "0")
+    assert int(tc(L)) == want                     # sparse count path
+    monkeypatch.setenv("GRB_TC_COUNT", "0")
+    assert int(tc(L)) == want                     # general mxm route
