@@ -109,7 +109,7 @@ def _traversal_rate(log, stage, single, sources, reached_edges, reps=3):
 
 
 def _bfs_stage(args, log, A, out, mode_name, key=None, sources=None,
-               max_niter=1000):
+               max_niter=1000, tiers=None):
     """Fused BFS (pull-only headline / direction-optimized pushpull):
     golden-checked at ≤ rmat18, then pipelined timing. `key` overrides the
     output metric name (the grid stages record bfs_grid_*)."""
@@ -134,7 +134,8 @@ def _bfs_stage(args, log, A, out, mode_name, key=None, sources=None,
               # ladder compiled in 1427 s on 2026-08-19 (3 spmspv
               # instantiations); one tier keeps the direction-optimized
               # measurement inside a realistic stage budget
-              tiers=(8,) if mode_name == "pushpull" else (64, 8))
+              tiers=(tiers if tiers is not None
+                     else ((8,) if mode_name == "pushpull" else (64, 8))))
     deg_dev = jnp.diff(A.row_ptr[: A.nrows + 1]).astype(jnp.int32)
 
     def build(plan):
@@ -235,10 +236,13 @@ def run_stage(args, stage: str):
                            side * side - 1, side - 1][: max(1, args.sources)],
                           dtype=np.int32)
         mode = "pull" if stage == "grid_pull" else "pushpull"
+        # grid push tier: max frontier ≈ 2·side vertices × 4 edges ≪ cap/64,
+        # so the per-iteration workspace sort stays frontier-scale
         _bfs_stage(args, log, A, out, mode,
                    key=("bfs_grid_pull_gteps" if mode == "pull"
                         else "bfs_grid_push_gteps"),
-                   sources=srcs, max_niter=4 * side + 8)
+                   sources=srcs, max_niter=4 * side + 8,
+                   tiers=(64,) if mode == "pushpull" else None)
 
     elif stage == "cc":
         from graphblast_tpu.algorithms.cc import _as_int_matrix, _cc_fused
@@ -287,14 +291,17 @@ def run_stage(args, stage: str):
         out["cc_iters"] = it0
         out["cc_gteps"] = round(A.nvals * it0 / per_s / 1e9, 4)
 
-    elif stage == "sssp":
+    elif stage in ("sssp", "sssp_pushpull"):
         from graphblast_tpu.algorithms.sssp import _sssp_fused
         from graphblast_tpu.ops.pallas.monopull import plan_for_monoid
 
         deg = _host_degrees(A)
         sources = np.argsort(deg)[::-1][: args.sources].astype(np.int32)
-        # mxvmode analog of the reference's --mxvmode flag (run_sssp.sh)
-        sssp_mode = os.environ.get("GRB_SSSP_MODE", "pull")
+        # mxvmode analog of the reference's --mxvmode flag (run_sssp.sh);
+        # the sssp_pushpull stage measures direction optimization with the
+        # r5 sparse-output push (filter applied via postprocess_sparse)
+        sssp_mode = ("pushpull" if stage == "sssp_pushpull"
+                     else os.environ.get("GRB_SSSP_MODE", "pull"))
         out["sssp_mode"] = sssp_mode
         kw = dict(edge_cap=min(A.nnz_pad,
                                max(1024,
@@ -302,7 +309,11 @@ def run_stage(args, stage: str):
                   switchpoint=0.01,
                   mode=(Direction.PULLONLY if sssp_mode == "pull"
                         else Direction.PUSHPULL),
-                  sort_push=True, tiers=(64, 8), max_niter=1000)
+                  sort_push=True,
+                  # single extra push tier in pushpull mode — bounds the
+                  # spmspv instantiation count in the compiled cond ladder
+                  tiers=(8,) if sssp_mode == "pushpull" else (64, 8),
+                  max_niter=1000)
         deg_dev = jnp.diff(A.row_ptr[: A.nrows + 1]).astype(jnp.int32)
         fmax = jnp.finfo(jnp.float32).max
 
@@ -353,8 +364,11 @@ def run_stage(args, stage: str):
             log("[sssp] distances == CPU golden")
 
         per_s = _traversal_rate(log, "sssp", single, sources, re0)
-        out["sssp_gteps"] = round(re0 / per_s / 1e9, 4)
-        out["sssp_gteps_total"] = round(A.nvals / per_s / 1e9, 4)
+        sfx = "_pushpull" if stage == "sssp_pushpull" else ""
+        out[f"sssp_gteps{sfx}"] = round(re0 / per_s / 1e9, 4)
+        out[f"sssp_ms{sfx}"] = round(per_s * 1e3, 2)
+        if not sfx:
+            out["sssp_gteps_total"] = round(A.nvals / per_s / 1e9, 4)
 
     elif stage == "spmv":
         from graphblast_tpu.ops.pallas.bilinear import plan_for, spmv_bilinear
@@ -537,7 +551,8 @@ def _emit(merged, args):
             result[k] = merged[k]
     for k in ("bfs_gteps_total", "bfs_gteps_pushpull", "bfs_ms",
               "bfs_ms_pushpull", "bfs_mode",
-              "sssp_gteps", "sssp_gteps_total", "sssp_mode",
+              "sssp_gteps", "sssp_gteps_total", "sssp_mode", "sssp_ms",
+              "sssp_gteps_pushpull", "sssp_ms_pushpull",
               "spmv_gbs", "spmv_gteps", "pr_iters_per_s",
               "cc_ms", "cc_iters", "cc_gteps",
               "grid_side", "bfs_grid_pull_gteps", "bfs_grid_pull_ms",
@@ -570,8 +585,9 @@ def main():
     ap.add_argument("--mtx-scale", type=int, default=20)
     ap.add_argument("--grid-side", type=int, default=512)
     ap.add_argument("--stage", choices=["bfs", "bfs_pushpull", "sssp",
-                                        "spmv", "pr", "tc", "mtx", "cc",
-                                        "grid_pull", "grid_push"])
+                                        "sssp_pushpull", "spmv", "pr", "tc",
+                                        "mtx", "cc", "grid_pull",
+                                        "grid_push"])
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -617,6 +633,7 @@ def main():
         ("grid_push", "grid_push", 0, 4, 1.5),
         ("grid_pull", "grid_pull", 0, 4, 1.5),
         ("bfs_pushpull", "bfs_pushpull", args.scale, args.sources, 1.5),
+        ("sssp_pushpull", "sssp_pushpull", args.scale, args.sources, 1.5),
         ("mtx", "mtx", args.mtx_scale, 4, 1.0),
         # tc keeps a wider budget: the sparse sort-join's remote compile
         # variance is the worst in the suite (CLAUDE.md)
@@ -724,6 +741,12 @@ def main():
                 vals = {k: v for k, v in vals.items()
                         if k in ("bfs_gteps_pushpull", "bfs_ms_pushpull")
                         or k.startswith("check_")}
+            elif stage == "sssp_pushpull":
+                vals = {(k.replace("check_sssp", "check_sssp_pushpull")
+                         if k.startswith("check_") else k): v
+                        for k, v in vals.items()
+                        if k in ("sssp_gteps_pushpull", "sssp_ms_pushpull")
+                        or k.startswith("check_sssp")}
             merged.update(vals)
             merged["stages_done"].append(stage)
         except subprocess.TimeoutExpired:

@@ -50,11 +50,20 @@ def _sssp_step(A: Matrix, v, f: DualFrontier, plan=None, *, edge_cap,
         # (sssp.hpp:76-88) fused into one where
         return jnp.where(y < v, y, MAXF)
 
+    def filter_sparse(keys, vals):
+        # sparse twin for the sparse-output push: gather v at the sorted
+        # candidate keys (monotone — rides the lane-gather) and drop
+        # non-improving relaxations to the MAXF identity
+        from ..ops.gather_dispatch import take
+
+        return jnp.where(vals < take(v, keys, sorted=True), vals, MAXF)
+
     f2, used_push = mxv_dual(
         A, f, MinimumPlusSemiring, identity=jnp.asarray(MAXF, jnp.float32),
         transpose=True, edge_cap=edge_cap, sort_push=sort_push,
         switchpoint=switchpoint, mode=mode, tier_divisors=tiers,
-        postprocess=filter_unproductive, pull_plan=plan)
+        postprocess=filter_unproductive, postprocess_sparse=filter_sparse,
+        pull_plan=plan)
     # relax: v = min(v, f2) (eWiseAdd MinimumPlus, sssp.hpp:80-82);
     # filtered entries are FLT_MAX and cannot lower v
     v = jnp.minimum(v, f2.dense)

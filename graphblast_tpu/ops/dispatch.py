@@ -110,6 +110,7 @@ def mxv_dual(
     switchpoint: float = 0.01,
     mode=None,
     postprocess=None,
+    postprocess_sparse=None,
     tier_divisors: tuple = (64, 8),
     pull_plan=None,
 ):
@@ -123,6 +124,10 @@ def mxv_dual(
     `postprocess(dense) -> dense` is fused between the matvec and the
     re-sparsification — the analog of the reference's fused applyVxm
     (operations.hpp:1275-1404); SSSP's unproductive-vertex filter uses it.
+    `postprocess_sparse(keys, vals) -> vals` is its sparse twin for the
+    sparse-output push path (must agree with postprocess and map the
+    identity to itself); without it a postprocess forces the push branch
+    onto the dense path's full-n re-sparsification.
 
     Returns (DualFrontier, used_push: traced bool) — used_push feeds the
     per-iteration `push|pull` CSV column (reference: bfs.hpp:54-60).
@@ -242,14 +247,16 @@ def mxv_dual(
         fv = f.sval[:fcap] if f.sval is not None else None
 
         def do_push(_):
-            if sort_push and postprocess is None:
+            if sort_push and (postprocess is None
+                              or postprocess_sparse is not None):
                 # sparse-output MERGE push: the new frontier compacts inside
                 # the cap-sized workspace — no full-n sort. This is what
                 # keeps push O(frontier-edges) on high-diameter graphs.
                 return spmspv_push_sparse(
                     push_ptr, push_ind, push_val, fs, fv, f.snvals,
                     semiring, n_out, cap, mask_dense, mask_scmp,
-                    structure_only, with_values=with_vals)
+                    structure_only, with_values=with_vals,
+                    postprocess_sparse=postprocess_sparse)
             y = spmspv_push(push_ptr, push_ind, push_val, fs, fv,
                             f.snvals, semiring, n_out, cap,
                             mask_dense, mask_scmp, structure_only,

@@ -81,10 +81,12 @@ class BilinearPlan:
     #                          sweep visits only [smin, smax] of the 32 rows
     unit_vals: bool = False  # True iff built with all-ones values — only
     #                          such plans may serve LogicalOrAnd via count>0
-    loc2: Optional[jnp.ndarray] = None   # pack=2 plans: second edge of each
-    val2: Optional[jnp.ndarray] = None   # one-hot column (same tile + output
-    #                                      lane → shares the Bt one-hot, so
-    #                                      the MXU scatter runs 2 edges/column)
+    loc2: Optional[tuple] = None   # pack=K plans: tuple of K-1 extra edge
+    val2: Optional[tuple] = None   # streams; edges of one one-hot column
+    #                                share (tile, output lane) → ONE Bt
+    #                                one-hot serves K edges (the per-column
+    #                                iota-compare builds dominate the kernel,
+    #                                so cost/edge drops ~1/K on that term)
 
     def tree_flatten(self):
         return ((self.loc, self.val, self.c_off, self.r_off,
@@ -106,11 +108,11 @@ def build_plan(ptr, ind, val, n_out: int, n_in: int,
     SpMV). `ptr`/`ind`/`val` describe the PULL orientation: y[i] =
     Σ_{e ∈ seg i} val[e] · x[ind[e]]; val=None means all-ones (struconly).
 
-    pack=2 pairs edges sharing (tile, output lane) into one one-hot column:
-    the MXU scatter then runs two edges per column (A carries both products,
-    the shared Bt one-hot routes them to the same lane) — half the scatter
-    FLOPs when the kernel is MXU-bound. Unpaired edges pad their column's
-    second slot with a zero-value edge."""
+    pack=K ≥ 2 groups edges sharing (tile, output lane) K per one-hot
+    column: the MXU scatter runs K edges per column (A accumulates all K
+    products, the shared Bt one-hot routes them to the same lane) — 1/K the
+    per-column iota-compare/select and matmul cost. Ungrouped edges pad
+    their column's remaining slots with zero-value edges."""
     ptr_np = np.asarray(ptr, dtype=np.int64)
     m = int(ptr_np[-1])
     n_out_pad = max(round_up(n_out, W), W)
@@ -127,7 +129,8 @@ def build_plan(ptr, ind, val, n_out: int, n_in: int,
             jnp.zeros((nsb,), jnp.int32), jnp.zeros((nsb,), jnp.int32),
             jnp.zeros((nsb,), jnp.int32), jnp.zeros((nsb,), jnp.int32),
             unit_vals=val is None,
-            loc2=z if pack == 2 else None, val2=zf if pack == 2 else None)
+            loc2=(z,) * (pack - 1) if pack >= 2 else None,
+            val2=(zf,) * (pack - 1) if pack >= 2 else None)
 
     rows = np.repeat(np.arange(n_out, dtype=np.int64), np.diff(ptr_np))
     cols = np.asarray(ind, dtype=np.int64)[:m]
@@ -136,9 +139,9 @@ def build_plan(ptr, ind, val, n_out: int, n_in: int,
 
     n_cb = n_in_pad >> W_BITS
     tile = (rows >> W_BITS) * n_cb + (cols >> W_BITS)
-    if pack == 2:
+    if pack >= 2:
         return _build_plan_packed(rows, cols, vals, tile, n_cb, n_out, n_in,
-                                  n_out_pad, n_in_pad, val is None)
+                                  n_out_pad, n_in_pad, val is None, pack)
     # secondary sort key: x-window row chi = (col within window) // LANE —
     # each sub-block then spans a narrow [smin, smax] sweep range instead
     # of all W_ROWS (the gather.py per-chunk pruning idea applied here)
@@ -192,8 +195,9 @@ def build_plan(ptr, ind, val, n_out: int, n_in: int,
 
 
 def _build_plan_packed(rows, cols, vals, tile, n_cb, n_out, n_in,
-                       n_out_pad, n_in_pad, unit_vals) -> BilinearPlan:
-    """pack=2 layout: one one-hot column per PAIR of edges sharing
+                       n_out_pad, n_in_pad, unit_vals,
+                       pack: int = 2) -> BilinearPlan:
+    """pack=K layout: one one-hot column per GROUP of K edges sharing
     (tile, output lane rows&127). m_pad counts COLUMNS, not edges."""
     m = rows.shape[0]
     chi_all = ((cols & (W - 1)) >> 7).astype(np.int32)
@@ -207,10 +211,10 @@ def _build_plan_packed(rows, cols, vals, tile, n_cb, n_out, n_in,
     g_counts = np.diff(np.r_[g_starts, m])
     gid = np.cumsum(grp_head) - 1
     within_g = np.arange(m, dtype=np.int64) - np.repeat(g_starts, g_counts)
-    pair_slot = within_g >> 1
-    side = (within_g & 1).astype(bool)
+    pair_slot = within_g // pack
+    side = (within_g % pack).astype(np.int64)
 
-    g_cols = (g_counts + 1) >> 1
+    g_cols = (g_counts + pack - 1) // pack
     g_tile = t_o[g_starts]
     tile_head = np.r_[True, g_tile[1:] != g_tile[:-1]]
     tid = np.cumsum(tile_head) - 1
@@ -232,14 +236,12 @@ def _build_plan_packed(rows, cols, vals, tile, n_cb, n_out, n_in,
     c_loc = (cols[order] & (W - 1)).astype(np.int32)
     lv = (r_loc << W_BITS) | c_loc
     vv = vals[order]
-    loc_a = np.zeros(m_pad, np.int32)
-    val_a = np.zeros(m_pad, np.float32)
-    loc_b = np.zeros(m_pad, np.int32)
-    val_b = np.zeros(m_pad, np.float32)
-    loc_a[edge_col[~side]] = lv[~side]
-    val_a[edge_col[~side]] = vv[~side]
-    loc_b[edge_col[side]] = lv[side]
-    val_b[edge_col[side]] = vv[side]
+    locs = [np.zeros(m_pad, np.int32) for _ in range(pack)]
+    vls = [np.zeros(m_pad, np.float32) for _ in range(pack)]
+    for k in range(pack):
+        sel = side == k
+        locs[k][edge_col[sel]] = lv[sel]
+        vls[k][edge_col[sel]] = vv[sel]
 
     nsb = m_pad // SUB
     sb_tile = np.zeros(nsb, np.int64)
@@ -258,11 +260,12 @@ def _build_plan_packed(rows, cols, vals, tile, n_cb, n_out, n_in,
     smax = np.maximum(smax, smin)
 
     return BilinearPlan(n_out, n_in, n_out_pad, n_in_pad, m_pad,
-                        jnp.asarray(loc_a), jnp.asarray(val_a),
+                        jnp.asarray(locs[0]), jnp.asarray(vls[0]),
                         jnp.asarray(c_off), jnp.asarray(r_off),
                         jnp.asarray(smin), jnp.asarray(smax),
                         unit_vals=unit_vals,
-                        loc2=jnp.asarray(loc_b), val2=jnp.asarray(val_b))
+                        loc2=tuple(jnp.asarray(a) for a in locs[1:]),
+                        val2=tuple(jnp.asarray(a) for a in vls[1:]))
 
 
 def _bank_sweep(row_fn, pairs, smin, smax, scratch_refs, n_rows: int,
@@ -301,15 +304,16 @@ def _bank_sweep(row_fn, pairs, smin, smax, scratch_refs, n_rows: int,
 
 def _kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
             x_ref, loc_ref, val_ref, y_ref, xg_ref, *,
-            matmul: str = "highest", sweep: str = "fori"):
+            matmul: str = "highest", sweep: str = "fori",
+            csubs: int = CHUNK_SUBS):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
     def _():
         y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
 
-    for sb in range(CHUNK_SUBS):
-        base = c * CHUNK_SUBS + sb
+    for sb in range(csubs):
+        base = c * csubs + sb
         c0 = c_off_ref[base]
         r0 = r_off_ref[base]
         lv = loc_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
@@ -383,72 +387,69 @@ def _kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
 
 
 def _kernel_packed(c_off_ref, r_off_ref, smin_ref, smax_ref, x_ref,
-                   loca_ref, vala_ref, locb_ref, valb_ref, y_ref,
-                   xga_ref, xgb_ref, *,
-                   matmul: str = "highest", sweep: str = "fori"):
-    """pack=2 variant of _kernel: each lane-column carries TWO edges that
-    share the output lane (build_plan pack=2), so one A accumulates both
-    products and the (128, SUB) Bt one-hot is shared — half the MXU passes
-    per edge. Gather/VPU work per edge is unchanged."""
+                   *rest, npack: int = 2,
+                   matmul: str = "highest", sweep: str = "fori",
+                   csubs: int = CHUNK_SUBS):
+    """pack=K variant of _kernel: each lane-column carries K edges that
+    share the output lane (build_plan pack=K), so one A accumulates all K
+    products and the (128, SUB) Bt one-hot is shared — 1/K the per-column
+    iota-compare and MXU passes per edge. Gather/VPU work per edge is
+    unchanged. rest = K (loc, val) ref pairs, y_ref, K sweep scratch refs."""
+    locs = [rest[2 * k] for k in range(npack)]
+    vls = [rest[2 * k + 1] for k in range(npack)]
+    y_ref = rest[2 * npack]
+    xg_refs = list(rest[2 * npack + 1: 3 * npack + 1])
     c = pl.program_id(0)
 
     @pl.when(c == 0)
     def _():
         y_ref[:] = jnp.zeros(y_ref.shape, y_ref.dtype)
 
-    for sb in range(CHUNK_SUBS):
-        base = c * CHUNK_SUBS + sb
+    for sb in range(csubs):
+        base = c * csubs + sb
         c0 = c_off_ref[base]
         r0 = r_off_ref[base]
-        la = loca_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
-        va = vala_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
-        lb = locb_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
-        vb = valb_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
-
-        ca = la & (W - 1)
-        chia, cloa = ca >> 7, ca & (LANE - 1)
-        cb = lb & (W - 1)
-        chib, clob = cb >> 7, cb & (LANE - 1)
+        lvs = [ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :] for ref in locs]
+        vvs = [ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :] for ref in vls]
+        chis = [(lv & (W - 1)) >> 7 for lv in lvs]
+        clos = [lv & (LANE - 1) for lv in lvs]
 
         def _sweep_step(s, carry):
-            xga, xgb = carry
             row = x_ref[pl.ds(c0 + s, 1), :]
-            ga = jnp.take_along_axis(
-                jnp.broadcast_to(row, cloa.shape), cloa, axis=1)
-            gb = jnp.take_along_axis(
-                jnp.broadcast_to(row, clob.shape), clob, axis=1)
-            return (jnp.where(chia == s, ga, xga),
-                    jnp.where(chib == s, gb, xgb))
+            return tuple(
+                jnp.where(chis[k] == s,
+                          jnp.take_along_axis(
+                              jnp.broadcast_to(row, clos[k].shape),
+                              clos[k], axis=1),
+                          carry[k])
+                for k in range(npack))
 
-        zero = jnp.zeros(cloa.shape, y_ref.dtype)
+        zero = jnp.zeros(clos[0].shape, y_ref.dtype)
         if sweep == "fori":
-            xga, xgb = jax.lax.fori_loop(smin_ref[base], smax_ref[base] + 1,
-                                         _sweep_step, (zero, zero))
+            xgs = jax.lax.fori_loop(smin_ref[base], smax_ref[base] + 1,
+                                    _sweep_step, (zero,) * npack)
         elif sweep == "bank":
-            xga, xgb = _bank_sweep(
+            xgs = _bank_sweep(
                 lambda s: x_ref[pl.ds(c0 + s, 1), :],
-                [(chia, cloa), (chib, clob)],
-                smin_ref[base], smax_ref[base], [xga_ref, xgb_ref], W_ROWS)
+                list(zip(chis, clos)),
+                smin_ref[base], smax_ref[base], xg_refs, W_ROWS)
         else:
-            xga, xgb = zero, zero
+            xgs = (zero,) * npack
             for s in range(W_ROWS):
-                xga, xgb = _sweep_step(s, (xga, xgb))
-        pa = xga * va
-        pb = xgb * vb
+                xgs = _sweep_step(s, xgs)
+        pfs = [(xgs[k] * vvs[k]).reshape(1, SUB) for k in range(npack)]
 
-        rla = la >> W_BITS
-        rhia = (rla >> 7).reshape(1, SUB)
-        rlo = (rla & (LANE - 1)).reshape(1, SUB)   # shared output lane
-        rhib = ((lb >> W_BITS) >> 7).reshape(1, SUB)
-        pfa = pa.reshape(1, SUB)
-        pfb = pb.reshape(1, SUB)
+        rhis = [(lv >> (W_BITS + 7)).reshape(1, SUB) for lv in lvs]
+        rlo = ((lvs[0] >> W_BITS) & (LANE - 1)).reshape(1, SUB)  # shared lane
 
         ia = jax.lax.broadcasted_iota(jnp.int32, (W_ROWS, SUB), 0)
         ib = jax.lax.broadcasted_iota(jnp.int32, (LANE, SUB), 0)
-        A = (jnp.where(jnp.broadcast_to(rhia, (W_ROWS, SUB)) == ia,
-                       jnp.broadcast_to(pfa, (W_ROWS, SUB)), 0.0)
-             + jnp.where(jnp.broadcast_to(rhib, (W_ROWS, SUB)) == ia,
-                         jnp.broadcast_to(pfb, (W_ROWS, SUB)), 0.0))
+        A = jnp.where(jnp.broadcast_to(rhis[0], (W_ROWS, SUB)) == ia,
+                      jnp.broadcast_to(pfs[0], (W_ROWS, SUB)), 0.0)
+        for k in range(1, npack):
+            A = A + jnp.where(
+                jnp.broadcast_to(rhis[k], (W_ROWS, SUB)) == ia,
+                jnp.broadcast_to(pfs[k], (W_ROWS, SUB)), 0.0)
         hot_b = jnp.broadcast_to(rlo, (LANE, SUB)) == ib
         if matmul == "hilo":
             Bt = hot_b.astype(jnp.bfloat16)
@@ -506,9 +507,13 @@ def _spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
     x_p = jnp.pad(x.astype(jnp.float32), (0, n_in_pad - x.shape[0]))
     x2d = x_p.reshape(n_in_pad // LANE, LANE)
 
-    chunk_rows = CHUNK_SUBS * SUB_ROWS
-    n_chunks = plan.m_pad // (CHUNK_SUBS * SUB)
-    packed = plan.loc2 is not None
+    # interpret mode: 2 sub-blocks per grid step — the emulated body is
+    # traced into the outer jit, so the 8x smaller body cuts the CPU test
+    # tier's compile bill ~6x (measured on the monoid twin, 2026-08-19)
+    csubs = 2 if interpret else CHUNK_SUBS
+    chunk_rows = csubs * SUB_ROWS
+    n_chunks = plan.m_pad // (csubs * SUB)
+    npack = 1 + (len(plan.loc2) if plan.loc2 is not None else 0)
 
     stream = pl.BlockSpec((chunk_rows, LANE), lambda c, *_: (c, 0),
                           memory_space=pltpu.VMEM)
@@ -516,21 +521,25 @@ def _spmv_bilinear(plan: BilinearPlan, x: jnp.ndarray,
         num_scalar_prefetch=4,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]  # x table
-        + [stream] * (4 if packed else 2),
+        + [stream] * (2 * npack),
         out_specs=pl.BlockSpec((n_out_pad // LANE, LANE),
                                lambda c, *_: (0, 0),
                                memory_space=pltpu.VMEM),
         # gather accumulators for the bank sweep (pl.when regions cannot
         # return values); dead weight (8x128 f32 each) for other sweeps
-        scratch_shapes=[pltpu.VMEM((SUB_ROWS, LANE), jnp.float32)]
-        * (2 if packed else 1),
+        scratch_shapes=[pltpu.VMEM((SUB_ROWS, LANE), jnp.float32)] * npack,
     )
-    kern = _kernel_packed if packed else _kernel
     operands = (plan.loc.reshape(-1, LANE), plan.val.reshape(-1, LANE))
-    if packed:
-        operands += (plan.loc2.reshape(-1, LANE), plan.val2.reshape(-1, LANE))
+    if npack > 1:
+        kern = functools.partial(_kernel_packed, npack=npack,
+                                 matmul=matmul, sweep=sweep, csubs=csubs)
+        for l2, v2 in zip(plan.loc2, plan.val2):
+            operands += (l2.reshape(-1, LANE), v2.reshape(-1, LANE))
+    else:
+        kern = functools.partial(_kernel, matmul=matmul, sweep=sweep,
+                                 csubs=csubs)
     y2d = pl.pallas_call(
-        functools.partial(kern, matmul=matmul, sweep=sweep),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out_pad // LANE, LANE), jnp.float32),
         interpret=interpret,

@@ -172,7 +172,8 @@ def build_plan_monoid(ptr, ind, val, n_out: int, n_in: int) -> MonoidPlan:
 def _mono_kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
                  x_ref, loc_ref, val_ref, y_ref, xg_ref, *,
                  add: str, mul: str, ident: float, sweep: str,
-                 matmul: str = "highest", scan: str = "flat"):
+                 matmul: str = "highest", scan: str = "flat",
+                 csubs: int = CHUNK_SUBS):
     op = MONO_ADD[add]
     times = MONO_MUL[mul]
     c = pl.program_id(0)
@@ -181,8 +182,8 @@ def _mono_kernel(c_off_ref, r_off_ref, smin_ref, smax_ref,
     def _():
         y_ref[:] = jnp.full(y_ref.shape, ident, y_ref.dtype)
 
-    for sb in range(CHUNK_SUBS):
-        base = c * CHUNK_SUBS + sb
+    for sb in range(csubs):
+        base = c * csubs + sb
         c0 = c_off_ref[base]
         r0 = r_off_ref[base]
         lv = loc_ref[sb * SUB_ROWS:(sb + 1) * SUB_ROWS, :]
@@ -377,8 +378,13 @@ def _spmv_monoid(plan: MonoidPlan, x: jnp.ndarray, add: str, mul: str,
         x.astype(jnp.float32))
     x2d = x_p.reshape(n_in_pad // LANE, LANE)
 
-    chunk_rows = CHUNK_SUBS * SUB_ROWS
-    n_chunks = plan.m_pad // (CHUNK_SUBS * SUB)
+    # interpret mode: 2 sub-blocks per grid step instead of 16 — the
+    # emulated kernel body is traced into the outer jit graph, so an 8x
+    # smaller body cuts the CPU test tier's compile bill (the grid just
+    # gets 8x longer; m_pad is a 16·SUB multiple either way)
+    csubs = 2 if interpret else CHUNK_SUBS
+    chunk_rows = csubs * SUB_ROWS
+    n_chunks = plan.m_pad // (csubs * SUB)
     stream = pl.BlockSpec((chunk_rows, LANE), lambda c, *_: (c, 0),
                           memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -392,7 +398,8 @@ def _spmv_monoid(plan: MonoidPlan, x: jnp.ndarray, add: str, mul: str,
     )
     y2d = pl.pallas_call(
         functools.partial(_mono_kernel, add=add, mul=mul, ident=ident,
-                          sweep=sweep, matmul=matmul, scan=scan),
+                          sweep=sweep, matmul=matmul, scan=scan,
+                          csubs=csubs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out_pad // LANE, LANE),
                                        jnp.float32),

@@ -262,8 +262,15 @@ def spmspv_push_sparse(
     swap_mul: bool = False,
     out_dtype=None,
     with_values: bool = True,
+    postprocess_sparse=None,
 ):
     """MERGE push with SPARSE output: returns (y_dense, sind, sval, nv).
+
+    `postprocess_sparse(keys, vals) -> vals` is the sparse analog of
+    mxv_dual's dense postprocess: an elementwise filter applied to each
+    segment's ⊕-total BEFORE the keep decision (entries mapped to the
+    identity are dropped). Must satisfy f(ident) == ident — SSSP's
+    unproductive filter (sssp.hpp:76-88) does.
 
     The destination sort already orders the expanded edges; the new frontier
     is exactly the segment heads that survive the mask — compacted INSIDE
@@ -288,6 +295,8 @@ def spmspv_push_sparse(
     dup_ok = structure_only and semiring.add.name in ("LogicalOrMonoid",
                                                       "MaximumMonoid")
     keys, seg_val, heads = _merge_reduce(tgt, mv, semiring, edge_cap, dup_ok)
+    if postprocess_sparse is not None:
+        seg_val = postprocess_sparse(jnp.minimum(keys, n_out - 1), seg_val)
 
     keep = heads & (keys < n_out) & (seg_val != ident)
     if mask_dense is not None:

@@ -22,14 +22,16 @@ def rng():
 
 
 # ---------------------------------------------------------------- gather
+slow = pytest.mark.slow
+
 GATHER_CASES = [
     # (table_n, num_queries, sorted, dtype)
     (128, 9000, False, np.float32),        # table exactly one lane row
     (129, 9000, False, np.float32),        # one row + 1 (partial row)
     (16384, 33000, False, np.float32),     # m not a 32K chunk multiple
     (16384, 32768, True, np.float32),      # exactly one chunk, sorted
-    (65536, 70000, True, np.int32),        # int payload, sorted (pruning)
-    (65536, 70000, False, np.int32),       # int payload, random (full sweep)
+    pytest.param(65536, 70000, True, np.int32, marks=slow),   # int, pruning
+    pytest.param(65536, 70000, False, np.int32, marks=slow),  # full sweep
     (40000, 12, False, np.float32),        # tiny query count
 ]
 
@@ -100,15 +102,15 @@ def test_orpull_pad_sentinel_reads_zero(rng):
 BILINEAR_CASES = [
     # (n_out, n_in, m, dense_rows)
     (500, 700, 3000, False),
-    (4096, 4096, 20000, False),     # dims exactly one window
-    (4097, 4100, 20000, False),     # dims one over a window
+    pytest.param(4096, 4096, 20000, False, marks=slow),  # exactly one window
+    pytest.param(4097, 4100, 20000, False, marks=slow),  # one over a window
     (9000, 5000, 1, False),
     (100, 100, 0, False),
-    (2000, 2000, 30000, True),      # hub rows/cols (power-law-ish)
+    pytest.param(2000, 2000, 30000, True, marks=slow),   # hub rows/cols
 ]
 
 
-@pytest.mark.parametrize("pack", [1, 2])
+@pytest.mark.parametrize("pack", [1, 2, 4])
 @pytest.mark.parametrize("n_out,n_in,m,skew", BILINEAR_CASES)
 def test_spmv_bilinear(rng, n_out, n_in, m, skew, pack):
     from graphblast_tpu.ops.pallas.bilinear import build_plan, spmv_bilinear
@@ -136,6 +138,7 @@ def test_spmv_bilinear(rng, n_out, n_in, m, skew, pack):
     assert np.abs(y - yref).max() / den < 1e-5
 
 
+@slow
 def test_spmv_bilinear_variants(rng):
     """hilo bf16 two-pass scatter and unroll sweep agree with the golden at
     their documented error bars (hilo ~1e-4 rel; exact mechanics differ per
@@ -167,13 +170,14 @@ def test_spmv_bilinear_variants(rng):
 
 @pytest.mark.parametrize("n_out,n_in,m,w", [
     (500, 700, 3000, None),
-    (9000, 6000, 25000, None),      # multiple output panels
-    (8192, 65536, 20000, None),     # dims exactly one (panel, window)
+    pytest.param(9000, 6000, 25000, None, marks=slow),   # multiple panels
+    pytest.param(8192, 65536, 20000, None, marks=slow),  # one (panel, window)
     (20000, 9000, 1, None),         # unvisited panels must read 0
     (100, 50, 0, None),
-    (9000, 70000, 30000, None),     # multiple x windows at default size
-    (9000, 9000, 30000, (12, 12)),  # forced small windows: many tiles per
-    #                                 panel, window switches inside chunks
+    pytest.param(9000, 70000, 30000, None, marks=slow),  # multiple x windows
+    pytest.param(9000, 9000, 30000, (12, 12), marks=slow),  # forced small
+    #                                 windows: many tiles per panel, window
+    #                                 switches inside chunks
 ])
 def test_spmv_bilinear_dma(rng, n_out, n_in, m, w):
     """Windowed-DMA f32 variant (any-scale value pulls) vs dense oracle."""
@@ -238,12 +242,14 @@ def test_spmv_bilinear_struconly(rng):
 
 @pytest.mark.parametrize("n_out,n_in,m,wp_bits", [
     (500, 700, 3000, None),
-    (4096, 131072, 20000, None),  # dims exactly one (row, col) window
+    pytest.param(4096, 131072, 20000, None, marks=slow),  # one (row, col)
+    #                               window exactly
     (20000, 9000, 1, None),       # unvisited output panels must read 0
     (100, 50, 0, None),
-    (20000, 9000, 5000, 13),      # wide (8192-row) panels: the scale-24
-    #                               layout, forced small (valid bit at 30,
-    #                               13-bit row_loc, (64,128) output blocks)
+    pytest.param(20000, 9000, 5000, 13, marks=slow),  # wide (8192-row)
+    #                               panels: the scale-24 layout, forced small
+    #                               (valid bit at 30, 13-bit row_loc,
+    #                               (64,128) output blocks)
 ])
 def test_bitmap_bilinear(rng, n_out, n_in, m, wp_bits):
     from graphblast_tpu.ops.pallas.bilinear import (build_plan_bitmap,
@@ -358,10 +364,15 @@ def test_plan_for_cache(rng):
     assert pt is not None and pt.n_out == A.ncols
 
 
-def test_monoid_pull_kernel_goldens():
+@pytest.mark.parametrize("full", [
+    False,
+    pytest.param(True, marks=slow),
+])
+def test_monoid_pull_kernel_goldens(full):
     """spmv_monoid (run-scan + one-hot MXU select) vs numpy ⊕-goldens for
-    every supported semiring, both sweep variants, across window boundaries
-    (n > 4096) and with FLT_MAX sentinels in x (the SSSP shape)."""
+    every supported semiring with FLT_MAX sentinels in x (the SSSP shape).
+    Smoke tier: small n, library-default variants. Full (slow) tier adds
+    the window-crossing size (n > 4096) and the sweep/scan variant matrix."""
     from graphblast_tpu.ops.pallas.monopull import (build_plan_monoid,
                                                     spmv_monoid)
     from graphblast_tpu.semiring import (MaximumMultipliesSemiring,
@@ -370,7 +381,9 @@ def test_monoid_pull_kernel_goldens():
 
     rng = np.random.default_rng(0)
     MAXF = np.float64(np.finfo(np.float32).max)
-    for n_out, n_in, m in ((300, 300, 2500), (4300, 4200, 4000)):
+    sizes = (((300, 300, 2500), (4300, 4200, 4000)) if full
+             else ((300, 300, 2500),))
+    for n_out, n_in, m in sizes:
         rows = rng.integers(0, n_out, m)
         cols = rng.integers(0, n_in, m)
         key = rows.astype(np.int64) * n_in + cols
@@ -406,10 +419,10 @@ def test_monoid_pull_kernel_goldens():
                 np.maximum.at(want, rows, prod)
             # HIGHEST matmul is exact-class; the hilo default (arithmetic
             # ⊗ only) carries a ~16-bit effective mantissa (~1e-5 rel).
-            # The non-default variants run on the first case only — each
+            # The non-default variants run in the slow tier only — each
             # interpret run costs seconds and the variants share layout.
             variants = [(None, None, None, 1e-4)]     # library defaults
-            if name == "min-plus":
+            if full and name == "min-plus":
                 variants += [("unroll", "flat", "highest", 1e-5),
                              ("fori", "2d", "highest", 1e-5)]
             for sweep, scan, matmul, tol in variants:

@@ -64,15 +64,15 @@ combos = [a for a in sys.argv[2:]] or [
 plans = {1: plan}
 
 
-def plan_packed():
-    if 2 not in plans:
+def plan_packed(k: int = 2):
+    if k not in plans:
         t0 = time.perf_counter()
-        plans[2] = build_plan(ptr_np, ind_np, val_np, A.nrows, A.ncols,
-                              pack=2)
-        log(f"pack=2 plan: m_pad={plans[2].m_pad} cols "
-            f"(pairing {plans[2].m_pad * 2 / plan.m_pad:.2f}x edge slots vs "
+        plans[k] = build_plan(ptr_np, ind_np, val_np, A.nrows, A.ncols,
+                              pack=k)
+        log(f"pack={k} plan: m_pad={plans[k].m_pad} cols "
+            f"(grouping {plans[k].m_pad * k / plan.m_pad:.2f}x edge slots vs "
             f"unpacked) ({time.perf_counter()-t0:.1f}s)")
-    return plans[2]
+    return plans[k]
 
 
 def chain_for(sweep_mode, mm, p):
@@ -122,7 +122,10 @@ for combo in combos:
         parts = combo.split(":")
         sweep_mode = parts[0]
         mm = parts[1] if len(parts) > 1 else "highest"
-        p = plan_packed() if "p2" in parts[2:] else plan
+        p = plan
+        for tok in parts[2:]:          # pN selects a pack=N plan
+            if tok.startswith("p") and tok[1:].isdigit():
+                p = plan_packed(int(tok[1:]))
         y = np.asarray(spmv_bilinear(p, x, matmul=mm, sweep=sweep_mode))
         err = np.abs(y - y64).max() / den
         per = marginal(chain_for(sweep_mode, mm, p), 2, 12)
