@@ -164,12 +164,23 @@ def _masked_count_chunk(mi_all, mj_all, s, m_count, a_ptr, a_ind,
     The triangle-count specialization of _masked_join_chunk (VERDICT r4
     next-#5): no values ride the sort (⊗ products are all 1), no routing
     back to expansion order, no segmented scan — the whole chunk is ONE
-    two-array two-key sort plus a cummax carry. The membership tag is packed
+    two-array two-key sort plus cummax carries. The membership tag is packed
     into the second key's LSB (keys < 2^29 so kk<<1|tag fits int32), so B
     entries sort immediately before the query run with the same (j, k).
     Reference analog: the warp-per-mask-row intersect kernel
     (kernels/spgemm.hpp:17-79) with the per-entry binary search replaced by
-    one radix-class sort."""
+    one radix-class sort.
+
+    Gather-minimal (r5, tools/tpu_sortcost.py 2026-08-20): at rmat18 chunk
+    shapes one 12.3M monotone take costs 28-108 ms while a cummax is 3-5 ms
+    and a 240K-slot scatter 2.7 ms — so every per-lane stream that is
+    ASCENDING per chunk (segment offsets, the expand-side row starts) is
+    forward-filled by scatter-at-run-head + cummax instead of gathered, and
+    the sorted-run membership test replaces its two 12.3M carry gathers
+    with a run-head cummax compare. Requires the plan to order each side's
+    mask edges by the EXPAND-side id (see _mask_chunk_plan); the two
+    remaining gathers are the query-id fetch (non-monotone values) and the
+    A-entry fetch itself."""
     from .gather_dispatch import take
 
     expand_cap = expand_e.shape[0]
@@ -181,18 +192,21 @@ def _masked_count_chunk(mi_all, mj_all, s, m_count, a_ptr, a_ind,
     slot = jnp.arange(acap, dtype=INDEX_DTYPE)
     slot_valid = slot < m_count
     mi_safe = jnp.minimum(mi_c, n - 1)
-    deg = jnp.where(slot_valid, a_ptr[mi_safe + 1] - a_ptr[mi_safe], 0)
+    row_start = a_ptr[mi_safe]
+    deg = jnp.where(slot_valid, a_ptr[mi_safe + 1] - row_start, 0)
     offsets = jnp.cumsum(deg) - deg
     total = offsets[-1] + deg[-1]
 
+    # run-head scatters + cummax forward-fills (offsets is a cumsum and
+    # row_start rides the ascending-per-chunk mi, so both are monotone and
+    # cummax-fillable; positions before the first run resolve to 0 and are
+    # masked by lane_valid)
     mark_tgt = jnp.where(deg > 0, offsets, expand_cap)
-    marks = (jnp.zeros((expand_cap,), INDEX_DTYPE)
-             .at[mark_tgt].max(slot, mode="drop"))
-    m_slot = jax.lax.cummax(marks)
-    t = expand_e - take(offsets, m_slot, sorted=True)
-    mi_exp = jnp.minimum(take(mi_c, m_slot, sorted=True), n - 1)
-    a_idx = jnp.clip(take(a_ptr, mi_exp, sorted=True) + t,
-                     0, a_ind.shape[0] - 1)
+    zeros = jnp.zeros((expand_cap,), INDEX_DTYPE)
+    m_slot = jax.lax.cummax(zeros.at[mark_tgt].max(slot, mode="drop"))
+    off_exp = jax.lax.cummax(zeros.at[mark_tgt].max(offsets, mode="drop"))
+    base_exp = jax.lax.cummax(zeros.at[mark_tgt].max(row_start, mode="drop"))
+    a_idx = jnp.clip(base_exp + (expand_e - off_exp), 0, a_ind.shape[0] - 1)
     k = take(a_ind, a_idx, sorted=True)
     lane_valid = expand_e < total
     j = jnp.where(lane_valid, take(mj_c, m_slot, sorted=True), BIG)
@@ -202,12 +216,17 @@ def _masked_count_chunk(mi_all, mj_all, s, m_count, a_ptr, a_ind,
     kk2 = jnp.concatenate([jnp.minimum(b_k, BIG) << 1, (k << 1) | 1])
     j_s, k2_s = jax.lax.sort((jj, kk2), num_keys=2, is_stable=False)
     tag_s = k2_s & 1
-    pos = jnp.arange(j_s.shape[0], dtype=INDEX_DTYPE)
-    carry = jax.lax.cummax(jnp.where(tag_s == 0, pos, -1))
-    carry_safe = jnp.clip(carry, 0, j_s.shape[0] - 1)
-    found = ((carry >= 0) & (tag_s == 1) & (j_s < BIG)
-             & (take(j_s, carry_safe, sorted=True) == j_s)
-             & (take(k2_s, carry_safe, sorted=True) == (k2_s & ~1)))
+    nn = j_s.shape[0]
+    pos = jnp.arange(nn, dtype=INDEX_DTYPE)
+    # a query matches iff its (j,k) run begins with a B entry: compare the
+    # latest-B-position carry against the run-head carry — no gathers
+    prev_j = jnp.concatenate([jnp.full((1,), -1, jnp.int32), j_s[:-1]])
+    prev_k = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                              (k2_s >> 1)[:-1]])
+    new_run = (j_s != prev_j) | ((k2_s >> 1) != prev_k)
+    run_start = jax.lax.cummax(jnp.where(new_run, pos, 0))
+    b_pos = jax.lax.cummax(jnp.where(tag_s == 0, pos, -1))
+    found = (tag_s == 1) & (b_pos >= run_start) & (j_s < BIG)
     # per-chunk counts fit int32 (≤ expand_cap lanes); the caller sums
     # chunk scalars in host int64 so multi-billion totals don't wrap
     return jnp.sum(found.astype(jnp.int32))
@@ -288,7 +307,12 @@ def _mask_chunk_plan(A: Matrix, B: Matrix, M: Matrix, transpose_b: bool,
         n_b = 0
 
     if n_b:
-        perm = np.argsort(side_b, kind="stable")   # A-side edges first
+        # A-side edges first; within a side, order by the EXPAND-side id
+        # (mi for side A, mj for side B) — _masked_count_chunk forward-fills
+        # the per-run row starts by cummax, which needs them ascending per
+        # chunk. lexsort's last key is primary.
+        exp_id = np.where(side_b, mj_np, mi_np)
+        perm = np.lexsort((exp_id, side_b))
         mi_p, mj_p = mi_np[perm], mj_np[perm]
         deg_np = np.where(side_b, deg_b_np, deg_a_np)[perm]
         n_a = nvals - n_b
@@ -355,8 +379,26 @@ def spgemm_masked_count(A: Matrix, B: Matrix, M: Matrix,
     reference driver, example/gtc.cu:80-82). Chunk kernel is a single
     two-key sort (_masked_count_chunk) — ~an order of magnitude less sort
     traffic than the value path. Inputs must be canonical (deduped): each
-    (j,k) appears at most once in B."""
-    plan = _mask_chunk_plan(A, B, M, transpose_b, max_lanes)
+    (j,k) appears at most once in B.
+
+    For the TC idiom (A is B is M) the chunk plan is stashed on the matrix
+    so repeat counts skip the host rebuild + H2D ship (~6.6 s at rmat18
+    over this relay, tools/tpu_tc_diag.py) — the .bin-cache/build-once
+    philosophy of BilinearPlan applied here."""
+    import os as _os
+
+    cache_key = (transpose_b, int(max_lanes),
+                 _os.environ.get("GRB_SPGEMM_LANES", ""),
+                 _os.environ.get("GRB_SPGEMM_MINSIDE", ""))
+    plan = None
+    if A is B and B is M:
+        hit = getattr(A, "_mask_count_plan", None)
+        if hit is not None and hit[0] == cache_key:
+            plan = hit[1]
+    if plan is None:
+        plan = _mask_chunk_plan(A, B, M, transpose_b, max_lanes)
+        if A is B and B is M:
+            object.__setattr__(A, "_mask_count_plan", (cache_key, plan))
     if plan is None:
         return 0
     (chunks, acap, expand_e, mi_all, mj_all, _perm, bexp,
