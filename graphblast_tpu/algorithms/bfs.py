@@ -22,33 +22,68 @@ from ..matrix import Matrix
 from ..semiring import LogicalOrAndSemiring
 from ..types import Direction, INDEX_DTYPE
 from ..vector import Vector
-from ..ops.dispatch import DualFrontier, mxv_dual
+from ..ops.dispatch import DualFrontier, LAZY_SPARSE_CAP, mxv_dual
 from .common import (TightTimer, dense_result, edge_cap_for,
                      print_dirinfo, print_iter_row)
 
 
 def _initial_frontier(n: int, source, dtype=jnp.float32,
-                      with_values: bool = False) -> DualFrontier:
+                      with_values: bool = False,
+                      lazy: bool = True) -> DualFrontier:
     source = jnp.asarray(source, INDEX_DTYPE)
     dense = jnp.zeros((n,), dtype).at[source].set(1)
-    sind = jnp.full((n,), n, INDEX_DTYPE).at[0].set(source)
-    sval = (jnp.zeros((n,), dtype).at[0].set(1) if with_values else None)
+    # lazy loops carry an SP-sized sparse image (mxv_dual lazy protocol —
+    # push iterations then do zero O(n) work); PUSHONLY keeps the full-n
+    # carry because its frontiers may exceed the lazy bound
+    cap = min(LAZY_SPARSE_CAP, n) if lazy else n
+    sind = jnp.full((cap,), n, INDEX_DTYPE).at[0].set(source)
+    sval = (jnp.zeros((cap,), dtype).at[0].set(1) if with_values else None)
     return DualFrontier(n, dense, sind, sval, jnp.asarray(1, INDEX_DTYPE),
                         jnp.asarray(1.0 / n, jnp.float32), jnp.asarray(True))
+
+
+def _lazy_frontier(mode) -> bool:
+    """Opt-in: the lazy dual-frontier protocol (GRB_LAZY_FRONTIER=1).
+
+    Measured on-chip 2026-08-20 (tools/tpu_grid_diag.py, 512² grid): lazy
+    push = 1.60 ms/iter vs eager 0.78 — the extra lax.cond levels cost more
+    on this backend than the O(n) image maintenance they remove, and the
+    per-iteration cost still scales ~1.5 ns/vertex at 2048² (suspected
+    conditional flattening re-running the full-n sparsify). Kept opt-in for
+    future backends where conditionals are cheap; default stays eager."""
+    import os
+
+    return (os.environ.get("GRB_LAZY_FRONTIER", "0") == "1"
+            and mode != Direction.PUSHONLY)
 
 
 def _bfs_step(A: Matrix, v, f: DualFrontier, it, *, struconly, edge_cap,
               switchpoint, mode, sort_push, tiers=(64, 8), plan=None):
     """One BFS iteration: label + masked expand. Shared by both modes."""
-    # assign(v, mask=f1, iter, GrB_ALL) — bfs.hpp:64-65
-    v = jnp.where(f.dense != 0, jnp.asarray(it, v.dtype).astype(v.dtype), v)
+    lazy = _lazy_frontier(mode)
+    itv = jnp.asarray(it, v.dtype).astype(v.dtype)
+    # assign(v, mask=f1, iter, GrB_ALL) — bfs.hpp:64-65. Lazy protocol:
+    # after a push iteration only the sparse image is live — assign via an
+    # SP-bounded scatter instead of a full-n where
+    if lazy:
+        def _assign_dense(_):
+            return jnp.where(f.dense != 0, itv, v)
+
+        def _assign_sparse(_):
+            sp = f.sind.shape[0]
+            tgt = jnp.where(jnp.arange(sp, dtype=INDEX_DTYPE) < f.snvals,
+                            f.sind, v.shape[0])
+            return v.at[tgt].set(itv, mode="drop")
+        v = jax.lax.cond(f.dense_ok, _assign_dense, _assign_sparse, None)
+    else:
+        v = jnp.where(f.dense != 0, itv, v)
     # scmp-masked vxm — bfs.hpp:67-70 (mask = visited v, complemented)
     f2, used_push = mxv_dual(
         A, f, LogicalOrAndSemiring, identity=jnp.zeros((), v.dtype),
         transpose=True, mask_dense=v, mask_scmp=True,
         structure_only=struconly, edge_cap=edge_cap, sort_push=sort_push,
         switchpoint=switchpoint, mode=mode, tier_divisors=tiers,
-        pull_plan=plan)
+        pull_plan=plan, lazy=lazy)
     succ = f2.snvals  # struconly reduce == nvals (reduce.hpp:71-75)
     return v, f2, succ, used_push
 
@@ -60,7 +95,8 @@ def _bfs_fused(A: Matrix, source, plan=None, *, struconly, edge_cap,
                switchpoint, mode, sort_push, tiers=(64, 8), max_niter):
     n = A.nrows
     v0 = jnp.zeros((n,), jnp.float32)
-    f0 = _initial_frontier(n, source, with_values=not struconly)
+    f0 = _initial_frontier(n, source, with_values=not struconly,
+                           lazy=_lazy_frontier(mode))
 
     def cond(state):
         it, v, f, succ = state
@@ -113,7 +149,8 @@ def bfs(A: Matrix, source: int, desc: Descriptor = BFS_TUNED,
     # stepped: host loop, CSV parity with the reference driver
     timer = TightTimer()
     v = jnp.zeros((n,), jnp.float32)
-    f = _initial_frontier(n, source, with_values=not desc.structure_only)
+    f = _initial_frontier(n, source, with_values=not desc.structure_only,
+                          lazy=_lazy_frontier(desc.mxv_mode))
     unvisited = n
     succ = 1
     prev_push = None

@@ -34,11 +34,16 @@ from .common import (TightTimer, dense_result, edge_cap_for,
 MAXF = float(jnp.finfo(jnp.float32).max)
 
 
-def _initial_frontier(n: int, source) -> DualFrontier:
+def _initial_frontier(n: int, source, lazy: bool = True) -> DualFrontier:
+    from ..ops.dispatch import LAZY_SPARSE_CAP
+
     source = jnp.asarray(source, INDEX_DTYPE)
     dense = jnp.full((n,), MAXF, jnp.float32).at[source].set(0.0)
-    sind = jnp.full((n,), n, INDEX_DTYPE).at[0].set(source)
-    sval = jnp.zeros((n,), jnp.float32)
+    # lazy loops carry an SP-sized sparse image (mxv_dual lazy protocol);
+    # PUSHONLY keeps the full-n carry — see bfs._initial_frontier
+    cap = min(LAZY_SPARSE_CAP, n) if lazy else n
+    sind = jnp.full((cap,), n, INDEX_DTYPE).at[0].set(source)
+    sval = jnp.full((cap,), MAXF, jnp.float32).at[0].set(0.0)
     return DualFrontier(n, dense, sind, sval, jnp.asarray(1, INDEX_DTYPE),
                         jnp.asarray(1.0 / n, jnp.float32), jnp.asarray(True))
 
@@ -58,15 +63,31 @@ def _sssp_step(A: Matrix, v, f: DualFrontier, plan=None, *, edge_cap,
 
         return jnp.where(vals < take(v, keys, sorted=True), vals, MAXF)
 
+    from .bfs import _lazy_frontier
+
+    lazy = _lazy_frontier(mode)
     f2, used_push = mxv_dual(
         A, f, MinimumPlusSemiring, identity=jnp.asarray(MAXF, jnp.float32),
         transpose=True, edge_cap=edge_cap, sort_push=sort_push,
         switchpoint=switchpoint, mode=mode, tier_divisors=tiers,
         postprocess=filter_unproductive, postprocess_sparse=filter_sparse,
-        pull_plan=plan)
+        pull_plan=plan, lazy=lazy)
     # relax: v = min(v, f2) (eWiseAdd MinimumPlus, sssp.hpp:80-82);
-    # filtered entries are FLT_MAX and cannot lower v
-    v = jnp.minimum(v, f2.dense)
+    # filtered entries are FLT_MAX and cannot lower v. Lazy protocol: after
+    # a push iteration only the sparse image is live — relax via an
+    # SP-bounded scatter-min (exact: min is order-insensitive)
+    if lazy:
+        def _relax_dense(_):
+            return jnp.minimum(v, f2.dense)
+
+        def _relax_sparse(_):
+            sp = f2.sind.shape[0]
+            tgt = jnp.where(jnp.arange(sp, dtype=INDEX_DTYPE) < f2.snvals,
+                            f2.sind, v.shape[0])
+            return v.at[tgt].min(f2.sval, mode="drop")
+        v = jax.lax.cond(f2.dense_ok, _relax_dense, _relax_sparse, None)
+    else:
+        v = jnp.minimum(v, f2.dense)
     succ = f2.snvals  # productive count == filtered frontier size
     return v, f2, succ, used_push
 
@@ -78,7 +99,9 @@ def _sssp_fused(A: Matrix, source, plan=None, *, edge_cap, switchpoint,
     n = A.nrows
     v0 = jnp.full((n,), MAXF, jnp.float32).at[
         jnp.asarray(source, INDEX_DTYPE)].set(0.0)
-    f0 = _initial_frontier(n, source)
+    from .bfs import _lazy_frontier
+
+    f0 = _initial_frontier(n, source, lazy=_lazy_frontier(mode))
 
     def cond(state):
         it, v, f, succ = state
@@ -127,7 +150,9 @@ def sssp(A: Matrix, source: int, desc: Descriptor = DEFAULT,
 
     timer = TightTimer()
     v = jnp.full((n,), MAXF, jnp.float32).at[source].set(0.0)
-    f = _initial_frontier(n, source)
+    from .bfs import _lazy_frontier
+
+    f = _initial_frontier(n, source, lazy=_lazy_frontier(desc.mxv_mode))
     prev_push = None
     for it in range(1, desc.max_niter + 1):
         timer.start()

@@ -32,14 +32,33 @@ from .spmspv import frontier_degrees, spmspv_push, spmspv_push_sparse
 from .spmv import spmv_pull, spmv_pull_sorted
 
 
+# static bound on the sparse image a LAZY push iteration may leave behind:
+# lazy consumers (the BFS label assign, SSSP relax, the degree-total check)
+# touch only sind[:LAZY_SPARSE_CAP], so their per-iteration cost is
+# O(frontier), not O(n). Push outputs larger than this materialize the dense
+# image instead (sparse_ok=False) — exactly the regime where pull wins anyway.
+LAZY_SPARSE_CAP = 8192
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class DualFrontier:
     """Frontier with both storage images + traced direction preference.
 
-    Leaves: dense (n,), sind (n,), sval (n,), snvals (), ratio (), use_sparse ()
+    Leaves: dense (n,), sind (n,), sval (n,), snvals (), ratio (),
+    use_sparse (), dense_ok (), sparse_ok ().
     Static: n. The semiring identity (= "missing entry" encoding in the dense
     image) is supplied by the algorithm at each construction site.
+
+    dense_ok/sparse_ok are validity flags for the LAZY dual-frontier protocol
+    (mxv_dual(lazy=True)): a steady-state push iteration leaves the dense
+    image STALE (dense_ok=False) and a pull iteration leaves the sparse image
+    stale — each direction's steady state does zero O(n) image maintenance,
+    and the missing image is materialized once at a direction switch. The
+    non-lazy protocol (default, used by the one-shot operations API and the
+    distributed layer) keeps both images valid every step, where the flags
+    are constant True. Invariant: sparse_ok implies snvals ≤ LAZY_SPARSE_CAP;
+    at least one flag is always True.
     """
 
     n: int
@@ -49,10 +68,15 @@ class DualFrontier:
     snvals: jnp.ndarray
     ratio: jnp.ndarray       # previous nnz/n (hysteresis state, vector.hpp:23)
     use_sparse: jnp.ndarray  # traced bool: push preferred
+    dense_ok: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.asarray(True))
+    sparse_ok: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.asarray(True))
 
     def tree_flatten(self):
         return ((self.dense, self.sind, self.sval, self.snvals,
-                 self.ratio, self.use_sparse), (self.n,))
+                 self.ratio, self.use_sparse, self.dense_ok,
+                 self.sparse_ok), (self.n,))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -95,6 +119,22 @@ def update_direction(nv, n: int, prev_ratio, prev_sparse, switchpoint: float,
     return use_sparse, ratio
 
 
+def _frontier_degree_total(push_ptr, f, identity):
+    """Σ deg(frontier) from the DENSE frontier image: diff the pointer array
+    and mask by non-identity lanes — two elementwise passes + a reduce
+    (~0.06 ms at n=262K). The former sparse-side formulation gathered ptr at
+    every slot of the n-padded sind array (2 × n-query gathers ≈ 1 ms at
+    n=262K, tools/tpu_pushcost.py 2026-08-20) — it was the push loop's
+    hidden per-iteration floor and made pull win even on a diameter-1022
+    grid. f.dense and push_ptr rows share the input-vertex space in both
+    mxv and vxm orientations."""
+    nn = f.dense.shape[0]   # ptr arrays may be padded past nrows+1
+    deg_dense = push_ptr[1: nn + 1] - push_ptr[:nn]
+    ident = jnp.asarray(identity, f.dense.dtype)
+    return jnp.sum(jnp.where(f.dense != ident,
+                             deg_dense.astype(INDEX_DTYPE), 0))
+
+
 def mxv_dual(
     A: Matrix,
     f: DualFrontier,
@@ -113,6 +153,7 @@ def mxv_dual(
     postprocess_sparse=None,
     tier_divisors: tuple = (64, 8),
     pull_plan=None,
+    lazy: bool = False,
 ):
     """One direction-optimized y = A ⊗ f (or fᵀ ⊗ A when transpose).
 
@@ -120,6 +161,16 @@ def mxv_dual(
     DualFrontier whose direction preference has been updated by the density
     heuristic — i.e. this fuses the reference's vxm + convert() pair
     (operations.hpp:108-199) into one jitted step.
+
+    `lazy=True` (fused BFS/SSSP loops) switches to the lazy dual-frontier
+    protocol: each direction maintains ONLY its own image per iteration
+    (flags on DualFrontier mark the other stale) and the missing image is
+    rebuilt once at a direction switch. This removes every O(n) pass from
+    the steady-state push iteration — measured 0.71 ms/iter of full-n
+    bookkeeping on a 262K-vertex grid (tools/tpu_grid_diag.py 2026-08-20),
+    which made pull beat push even at diameter 1022. Requires a square
+    operand (input and output images share one shape). Consumers must honor
+    dense_ok/sparse_ok.
 
     `postprocess(dense) -> dense` is fused between the matvec and the
     re-sparsification — the analog of the reference's fused applyVxm
@@ -165,7 +216,26 @@ def mxv_dual(
     else:
         alt = (A.csc_row_ind, A.csc_col_ind, A.csc_val)
 
+    # lazy protocol: slice bound for sparse-side consumers (invariant:
+    # sparse_ok implies snvals ≤ SP) and on-demand image rebuilds
+    SP = min(LAZY_SPARSE_CAP, f.sind.shape[0])
+
+    def _materialize_dense(_):
+        # push→pull switch: scatter the (≤ SP)-bounded sparse image
+        tgt = jnp.where(jnp.arange(SP, dtype=INDEX_DTYPE) < f.snvals,
+                        f.sind[:SP], f.dense.shape[0])
+        vals = (f.sval[:SP].astype(f.dense.dtype) if f.sval is not None
+                else jnp.ones((SP,), f.dense.dtype))
+        base = jnp.full(f.dense.shape, jnp.asarray(identity, f.dense.dtype))
+        return base.at[tgt].set(vals, mode="drop")
+
     def do_pull(_):
+        fd = (jax.lax.cond(f.dense_ok, lambda _: f.dense,
+                           _materialize_dense, None)
+              if lazy else f.dense)
+        return do_pull_fd(fd)
+
+    def do_pull_fd(fd):
         from .gather_dispatch import use_pallas
 
         if pull_plan is not None:
@@ -181,13 +251,13 @@ def mxv_dual(
                                           spmv_monoid)
             from .spmv import mask_pass
 
-            ident = semiring.identity(f.dense.dtype)
+            ident = semiring.identity(fd.dtype)
             if isinstance(pull_plan, MonoidPlan):
                 # f32-only: the plan stream is f32, and exactness of e.g.
                 # int32 MIS weights cannot survive the f32 value path
-                y = (spmv_monoid(pull_plan, f.dense, semiring)
+                y = (spmv_monoid(pull_plan, fd, semiring)
                      if (not structure_only and monoid_supported(semiring)
-                         and f.dense.dtype == jnp.float32) else None)
+                         and fd.dtype == jnp.float32) else None)
             elif structure_only and semiring.name == "LogicalOrAnd":
                 # count>0 ≡ the fused-or result only when edge values are
                 # all ones — a value plan with cancelling weights could sum
@@ -199,12 +269,12 @@ def mxv_dual(
                     from .pallas.orpull import pack_bitmap
 
                     cnt = spmv_bilinear_bitmap(pull_plan,
-                                               pack_bitmap(f.dense))
+                                               pack_bitmap(fd))
                 else:
-                    cnt = spmv_bilinear(pull_plan, f.dense)
-                y = (cnt > 0).astype(f.dense.dtype)
+                    cnt = spmv_bilinear(pull_plan, fd)
+                y = (cnt > 0).astype(fd.dtype)
             elif not structure_only and semiring.name == "PlusMultiplies":
-                y = spmv_bilinear(pull_plan, f.dense).astype(f.dense.dtype)
+                y = spmv_bilinear(pull_plan, fd).astype(fd.dtype)
             else:
                 y = None
             if y is not None:
@@ -216,35 +286,64 @@ def mxv_dual(
             # *other* representation (ascending), keys are its minor ids
             if transpose:   # vxm: gather x at CSR row ids, key = col ids
                 return spmv_pull_sorted(pull_ptr, A.row_ind, A.col_ind, A.val,
-                                        f.dense, semiring, n_out, A.nvals,
+                                        fd, semiring, n_out, A.nvals,
                                         mask_dense, mask_scmp)
             else:           # mxv: gather x at CSC col ids, key = row ids
                 return spmv_pull_sorted(pull_ptr, A.csc_col_ind, A.csc_row_ind,
-                                        A.csc_val, f.dense, semiring, n_out,
+                                        A.csc_val, fd, semiring, n_out,
                                         A.nvals, mask_dense, mask_scmp)
-        return spmv_pull(pull_ptr, pull_ind, pull_val, f.dense, semiring,
+        return spmv_pull(pull_ptr, pull_ind, pull_val, fd, semiring,
                          n_out, mask_dense, mask_scmp, structure_only)
 
     with_vals = not structure_only
 
+    if lazy and f.dense.shape[0] != n_out:
+        raise ValueError("lazy mxv_dual requires a square operand (the "
+                         "stale-image carry shares one vertex space)")
+
     def finish_dense(y):
         # dense-only producers re-sparsify with the full-n sort (the
-        # reference's streamCompact epilogue, vector.hpp:367-425)
+        # reference's streamCompact epilogue, vector.hpp:367-425). Lazy
+        # callers skip the sort entirely: the sparse image is carried stale
+        # and rebuilt only if a later iteration switches to push.
         if postprocess is not None:
             y = postprocess(y)
+        if lazy:
+            ident = jnp.asarray(identity, y.dtype)
+            nv = jnp.sum(y != ident).astype(INDEX_DTYPE)
+            return (y, f.sind, f.sval, nv,
+                    jnp.asarray(True), jnp.asarray(False))
         sind, sval, nv = sparse_from_dense(y, identity,
                                            with_values=with_vals)
-        return y, sind, sval, nv
+        return y, sind, sval, nv, jnp.asarray(True), jnp.asarray(True)
 
-    def make_push(cap, slice_frontier=False):
+    def _resolve_sparse_in(_):
+        # pull→push switch (lazy): rebuild the compacted image by the full-n
+        # sort once, instead of paying it in every pull iteration
+        if not lazy:
+            return f.sind, f.sval, f.snvals
+
+        def _sparsify(_):
+            si, sv, nv2 = sparse_from_dense(f.dense, identity,
+                                            with_values=f.sval is not None)
+            # the lazy carry is SP-sized; a frontier that does not fit was
+            # already routed to pull by the use_push_now gate
+            k = f.sind.shape[0]
+            return si[:k], (sv[:k] if sv is not None else None), nv2
+        return jax.lax.cond(f.sparse_ok,
+                            lambda _: (f.sind, f.sval, f.snvals),
+                            _sparsify, None)
+
+    def make_push(fin, cap, slice_frontier=False):
         # intermediate tiers slice the compacted frontier to the tier's
         # capacity: every expansion stage (marks scatter, degree gather,
         # cummax) then scales with the tier, not with n. Safe because those
         # tiers' predicate requires snvals <= cap (valid entries sort to the
         # front). The final tier keeps the full frontier.
-        fcap = min(f.sind.shape[0], cap) if slice_frontier else f.sind.shape[0]
-        fs = f.sind[:fcap]
-        fv = f.sval[:fcap] if f.sval is not None else None
+        f_sind, f_sval, f_snvals = fin
+        fcap = min(f_sind.shape[0], cap) if slice_frontier else f_sind.shape[0]
+        fs = f_sind[:fcap]
+        fv = f_sval[:fcap] if f_sval is not None else None
 
         def do_push(_):
             if sort_push and (postprocess is None
@@ -252,13 +351,24 @@ def mxv_dual(
                 # sparse-output MERGE push: the new frontier compacts inside
                 # the cap-sized workspace — no full-n sort. This is what
                 # keeps push O(frontier-edges) on high-diameter graphs.
-                return spmspv_push_sparse(
-                    push_ptr, push_ind, push_val, fs, fv, f.snvals,
+                y, sind, sval, nv = spmspv_push_sparse(
+                    push_ptr, push_ind, push_val, fs, fv, f_snvals,
                     semiring, n_out, cap, mask_dense, mask_scmp,
                     structure_only, with_values=with_vals,
-                    postprocess_sparse=postprocess_sparse)
+                    postprocess_sparse=postprocess_sparse,
+                    build_dense=not lazy,
+                    out_cap=SP if lazy else None,
+                    stale_dense=f.dense if lazy else None)
+                if not lazy:
+                    return (y, sind, sval, nv,
+                            jnp.asarray(True), jnp.asarray(True))
+                # lazy: the dense image came back stale unless the new
+                # frontier overflowed SP (pull's regime — the heuristic
+                # flips next step); flags say which image is live
+                small = nv <= SP
+                return y, sind, sval, nv, ~small, small
             y = spmspv_push(push_ptr, push_ind, push_val, fs, fv,
-                            f.snvals, semiring, n_out, cap,
+                            f_snvals, semiring, n_out, cap,
                             mask_dense, mask_scmp, structure_only,
                             sort_push)
             return finish_dense(y)
@@ -275,15 +385,35 @@ def mxv_dual(
             tiers.append(c)
     tiers.append(edge_cap)
 
-    def push_tiered_fn(deg_total):
+    def push_tiered_fn(fin, deg_total):
+        f_snvals = fin[2]
+
         def build(idx):
             cap = tiers[idx]
             if idx == len(tiers) - 1:
-                return make_push(cap)
-            fits = (deg_total <= cap) & (f.snvals <= cap)
-            return lambda _: jax.lax.cond(fits, make_push(cap, True),
+                return make_push(fin, cap)
+            fits = (deg_total <= cap) & (f_snvals <= cap)
+            return lambda _: jax.lax.cond(fits, make_push(fin, cap, True),
                                           build(idx + 1), None)
         return build(0)
+
+    def push_branch(deg_total):
+        def run(_):
+            fin = _resolve_sparse_in(None)
+            return push_tiered_fn(fin, deg_total)(None)
+        return run
+
+    def _deg_total():
+        if not lazy:
+            return _frontier_degree_total(push_ptr, f, identity)
+
+        def _sparse_deg(_):
+            # sparse_ok guarantees snvals ≤ SP — an SP-bounded gather
+            return jnp.sum(frontier_degrees(push_ptr, f.sind[:SP], f.snvals))
+        return jax.lax.cond(
+            f.dense_ok,
+            lambda _: _frontier_degree_total(push_ptr, f, identity),
+            _sparse_deg, None)
 
     if mode == Direction.PULLONLY:
         # the compacted image is only ever consumed by a push iteration:
@@ -298,17 +428,24 @@ def mxv_dual(
         nv = jnp.sum(y != ident).astype(INDEX_DTYPE)
         sind, sval = f.sind, f.sval
         use_push_now = jnp.asarray(False)
+        dense_ok, sparse_ok = jnp.asarray(True), jnp.asarray(not lazy)
     elif mode == Direction.PUSHONLY:
-        deg_total = jnp.sum(frontier_degrees(push_ptr, f.sind, f.snvals))
-        y, sind, sval, nv = push_tiered_fn(deg_total)(None)
+        deg_total = _deg_total()
+        (y, sind, sval, nv,
+         dense_ok, sparse_ok) = push_branch(deg_total)(None)
         use_push_now = jnp.asarray(True)
     else:
         # push feasibility: expanded edges must fit the static workspace
-        deg_total = jnp.sum(frontier_degrees(push_ptr, f.sind, f.snvals))
+        deg_total = _deg_total()
         use_push_now = f.use_sparse & (deg_total <= edge_cap)
-        y, sind, sval, nv = jax.lax.cond(
-            use_push_now, push_tiered_fn(deg_total),
+        if lazy:
+            # a pull-produced frontier can only switch to push if it fits
+            # the SP-sized lazy carry (bigger frontiers are pull's regime)
+            use_push_now &= f.sparse_ok | (f.snvals <= SP)
+        y, sind, sval, nv, dense_ok, sparse_ok = jax.lax.cond(
+            use_push_now, push_branch(deg_total),
             lambda _: finish_dense(do_pull(None)), None)
     use_sparse, ratio = update_direction(nv, n_out, f.ratio, use_push_now,
                                          switchpoint, mode)
-    return DualFrontier(n_out, y, sind, sval, nv, ratio, use_sparse), use_push_now
+    return DualFrontier(n_out, y, sind, sval, nv, ratio, use_sparse,
+                        dense_ok, sparse_ok), use_push_now

@@ -263,8 +263,18 @@ def spmspv_push_sparse(
     out_dtype=None,
     with_values: bool = True,
     postprocess_sparse=None,
+    build_dense: bool = True,
+    out_cap: Optional[int] = None,
+    stale_dense=None,
 ):
     """MERGE push with SPARSE output: returns (y_dense, sind, sval, nv).
+
+    Lazy dual-frontier protocol (dispatch.mxv_dual(lazy=True)): pass
+    build_dense=False, out_cap=LAZY_SPARSE_CAP and the carried stale dense
+    image. The sparse image then compacts into an out_cap-sized array (no
+    O(n) fills at all), and the dense image is returned STALE unless the new
+    frontier overflows out_cap — only then is it materialized from the
+    workspace (the caller flags which image is valid via nv <= out_cap).
 
     `postprocess_sparse(keys, vals) -> vals` is the sparse analog of
     mxv_dual's dense postprocess: an elementwise filter applied to each
@@ -305,16 +315,33 @@ def spmspv_push_sparse(
         mk = take(mask_dense, jnp.minimum(keys, n_out - 1), sorted=True)
         keep = keep & mask_pass(mk, mask_scmp)
     nv = jnp.sum(keep).astype(INDEX_DTYPE)
-    # compact surviving heads to the front of an n_out-sized pad array;
-    # dropped lanes (pad segments, masked heads, non-head lanes) route to
-    # the sentinel slot. One write per SEGMENT, not per lane.
+    # compact surviving heads to the front of an out_cap-sized pad array
+    # (default n_out; the lazy protocol passes LAZY_SPARSE_CAP so the
+    # compaction does no O(n) fill); dropped lanes (pad segments, masked
+    # heads, non-head lanes, positions past out_cap) route to the sentinel
+    # slot. One write per SEGMENT, not per lane. An overflowing compaction
+    # (nv > out_cap) is silently truncated — the lazy caller marks the
+    # sparse image invalid in exactly that case.
+    cap_out = n_out if out_cap is None else min(out_cap, n_out)
     pos = jnp.cumsum(keep.astype(INDEX_DTYPE)) - 1
-    spos = jnp.where(keep, pos, n_out)
-    sind = (jnp.full((n_out,), n_out, INDEX_DTYPE)
+    spos = jnp.where(keep, pos, cap_out)
+    sind = (jnp.full((cap_out,), n_out, INDEX_DTYPE)
             .at[spos].set(keys, mode="drop"))
-    sval = ((jnp.full((n_out,), ident, out_dtype)
+    sval = ((jnp.full((cap_out,), ident, out_dtype)
              .at[spos].set(seg_val, mode="drop")) if with_values else None)
-    wk = jnp.where(keep, keys, n_out)
-    y = (jnp.full((n_out,), ident, out_dtype)
-         .at[wk].set(seg_val, mode="drop"))
+    if build_dense:
+        wk = jnp.where(keep, keys, n_out)
+        y = (jnp.full((n_out,), ident, out_dtype)
+             .at[wk].set(seg_val, mode="drop"))
+    elif stale_dense is not None:
+        # lazy: materialize dense ONLY on overflow (the exact workspace
+        # scatter the eager path does), else carry the stale image
+        def _mat(_):
+            wk = jnp.where(keep, keys, n_out)
+            return (jnp.full((n_out,), ident, out_dtype)
+                    .at[wk].set(seg_val, mode="drop"))
+        y = jax.lax.cond(nv <= cap_out,
+                         lambda _: stale_dense.astype(out_dtype), _mat, None)
+    else:
+        y = None
     return y, sind, sval, nv

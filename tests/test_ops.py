@@ -577,3 +577,23 @@ def test_sssp_grid_modes(rng):
         d = gb.algorithms.sssp(A, 0, desc=Descriptor(mxv_mode=mode))
         np.testing.assert_allclose(d.to_numpy(MAXF), want, rtol=1e-5,
                                    err_msg=str(mode))
+
+
+def test_lazy_frontier_parity(rng, monkeypatch):
+    """Opt-in lazy dual-frontier protocol (GRB_LAZY_FRONTIER=1): BFS and
+    SSSP pushpull stay golden-exact with the SP-bounded sparse carry and
+    stale-image flags. Uses grid sizes no eager-mode test traced, so the
+    jit cache cannot serve a stale (non-lazy) executable."""
+    from graphblast_tpu.algorithms.reference import bfs_cpu, sssp_cpu
+    from graphblast_tpu.io.rmat import grid_matrix
+
+    monkeypatch.setenv("GRB_LAZY_FRONTIER", "1")
+    A = grid_matrix(17)                 # n=289 — distinct from eager tests
+    want = bfs_cpu(A, 0)
+    v = gb.algorithms.bfs(A, 0, desc=Descriptor(mxv_mode=Direction.PUSHPULL))
+    np.testing.assert_array_equal(v.to_numpy(0), want)
+
+    B = grid_matrix(13)                 # n=169
+    wd = sssp_cpu(B, 0)
+    d = gb.algorithms.sssp(B, 0, desc=Descriptor(mxv_mode=Direction.PUSHPULL))
+    np.testing.assert_allclose(d.to_numpy(MAXF), wd, rtol=1e-5)
