@@ -628,17 +628,20 @@ def main():
         ("sssp", "sssp", args.scale, args.sources, 1.0),
         ("pr", "pr", args.scale, 1, 1.0),
         ("cc", "cc", args.scale, 4, 1.0),
+        # tc is cheap now (r5 gather-free count chunk: 35 s compile +
+        # 6.3 s/run at rmat18, was 42.6 s/run) — promoted ahead of the
+        # heavy-compile direction-optimization pair
+        ("tc", "tc", min(args.scale, 18), 1, 1.0),
+        ("mtx", "mtx", args.mtx_scale, 4, 1.0),
+        ("bfs22", "bfs", 22, 4, 1.5),
         # direction optimization on the record: the high-diameter grid pair
-        # first (push must WIN there), then the rmat18 pushpull number
+        # (r5 measured finding: pull wins even here — the ratio in the
+        # record documents it), then the rmat18 pushpull numbers. These
+        # compile 400-450 s each (the 3-branch cond ladder) — late slots.
+        ("grid_pull", "grid_pull", 0, 4, 1.0),
         ("grid_push", "grid_push", 0, 4, 1.5),
-        ("grid_pull", "grid_pull", 0, 4, 1.5),
         ("bfs_pushpull", "bfs_pushpull", args.scale, args.sources, 1.5),
         ("sssp_pushpull", "sssp_pushpull", args.scale, args.sources, 1.5),
-        ("mtx", "mtx", args.mtx_scale, 4, 1.0),
-        # tc keeps a wider budget: the sparse sort-join's remote compile
-        # variance is the worst in the suite (CLAUDE.md)
-        ("tc", "tc", min(args.scale, 18), 1, 1.5),
-        ("bfs22", "bfs", 22, 4, 1.5),
         ("tc15", "tc", 15, 1, 1.0),   # fallback TC number if tc18 timed out
         ("spmv22", "spmv", 22, 1, 1.0),
         ("bfs24", "bfs", 24, 2, 1.5),

@@ -29,7 +29,7 @@ from .common import (TightTimer, dense_result, edge_cap_for,
 
 def _initial_frontier(n: int, source, dtype=jnp.float32,
                       with_values: bool = False,
-                      lazy: bool = True) -> DualFrontier:
+                      lazy: bool = False) -> DualFrontier:
     source = jnp.asarray(source, INDEX_DTYPE)
     dense = jnp.zeros((n,), dtype).at[source].set(1)
     # lazy loops carry an SP-sized sparse image (mxv_dual lazy protocol —

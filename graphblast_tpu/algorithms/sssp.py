@@ -34,7 +34,7 @@ from .common import (TightTimer, dense_result, edge_cap_for,
 MAXF = float(jnp.finfo(jnp.float32).max)
 
 
-def _initial_frontier(n: int, source, lazy: bool = True) -> DualFrontier:
+def _initial_frontier(n: int, source, lazy: bool = False) -> DualFrontier:
     from ..ops.dispatch import LAZY_SPARSE_CAP
 
     source = jnp.asarray(source, INDEX_DTYPE)
